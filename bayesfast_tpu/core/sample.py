@@ -1,0 +1,225 @@
+"""The parallel-sampling entry point.
+
+Counterpart of ``bayesfast/core/sample.py:26-220``. Differences forced by the
+TPU architecture:
+
+* All chains run in one jitted program (see ``samplers.chain``); the process
+  pool, dask Pub/Sub progress channel, and per-worker thread limits disappear.
+  The chain axis can be sharded over a device mesh (``parallel.mesh``).
+* Progress printing happens between scan *chunks* (n_update iterations per
+  chunk) on the host, covering all chains at once.
+* Per-chain RNG streams come from ``jax.random.split`` of the trace's key.
+"""
+
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import get_dtype
+from ..samplers.chain import ChainCarry, ChainDriver
+from ..samplers.metrics import init_diag_metric, init_full_metric
+from ..samplers.sample_trace import (SampleTrace, NTrace, HTrace, TNTrace,
+                                     THTrace, ETrace, TraceTuple)
+from ..samplers.step_size import init_step_size, check_acceptance
+from ..utils.sobol import multivariate_normal
+from ..utils.random import spawn_generator
+from ..parallel.mesh import shard_chains
+from .density import Density, DensityLite
+
+__all__ = ['sample']
+
+
+def _resolve_trace(sample_trace, sampler):
+    if isinstance(sample_trace, TNTrace):
+        return sample_trace, 'TNUTS'
+    if isinstance(sample_trace, THTrace):
+        return sample_trace, 'THMC'
+    if isinstance(sample_trace, NTrace):
+        return sample_trace, 'NUTS'
+    if isinstance(sample_trace, HTrace):
+        return sample_trace, 'HMC'
+    if isinstance(sample_trace, ETrace):
+        raise NotImplementedError
+    if sample_trace is None or isinstance(sample_trace, dict):
+        sample_trace = {} if sample_trace is None else sample_trace
+        cls = {'NUTS': NTrace, 'HMC': HTrace, 'TNUTS': TNTrace,
+               'THMC': THTrace}.get(sampler)
+        if cls is None:
+            if sampler == 'Ensemble':
+                raise NotImplementedError
+            raise ValueError('unexpected value for sampler.')
+        return cls(**sample_trace), sampler
+    if isinstance(sample_trace, TraceTuple):
+        return sample_trace.trace, sample_trace.sampler
+    raise ValueError('unexpected value for sample_trace.')
+
+
+def _init_carry(trace, x_0, dtype):
+    """Build the batched per-chain carry (RNG keys, q, step size, metric)."""
+    n_chain = trace.n_chain
+    dim = x_0.shape[-1]
+
+    keys = jnp.stack(spawn_generator(trace.random_generator, n_chain))
+    q = jnp.asarray(x_0, dtype)
+
+    step0 = trace.step_size if trace.step_size is not None else 1.0
+    step0 = step0 / dim ** 0.25  # ``sample_trace.py:365-373``
+    ss = jax.vmap(lambda _: init_step_size(jnp.asarray(step0, dtype), dtype))(
+        jnp.arange(n_chain))
+
+    metric = trace.metric
+    if isinstance(metric, str):
+        metric_arr = (np.ones(dim) if metric == 'diag' else np.eye(dim))
+    else:
+        metric_arr = np.asarray(metric)
+    init_mean = (np.asarray(x_0) if trace.initial_mean is None
+                 else np.broadcast_to(trace.initial_mean, (n_chain, dim)))
+
+    def init_one(mean):
+        if metric_arr.ndim == 1:
+            return init_diag_metric(mean, jnp.asarray(metric_arr, dtype),
+                                    trace.initial_weight, trace.adapt_window)
+        return init_full_metric(mean, jnp.asarray(metric_arr, dtype),
+                                trace.initial_weight, trace.adapt_window)
+
+    ms = jax.vmap(init_one)(jnp.asarray(init_mean, dtype))
+    return ChainCarry(keys, q, ss, ms)
+
+
+def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
+           parallel_backend=None, verbose=True, n_update=None, mesh=None):
+    """Sample a probability density; returns a ``TraceTuple``.
+
+    See ``bayesfast.core.sample.sample`` for the original semantics. The
+    ``parallel_backend`` argument is accepted for API compatibility and
+    ignored (parallelism is the device mesh); ``mesh`` optionally overrides
+    the global mesh from ``parallel.mesh.set_mesh``.
+    """
+    if not isinstance(density, (Density, DensityLite)):
+        raise ValueError('density should be a Density or DensityLite.')
+
+    trace, sampler = _resolve_trace(sample_trace, sampler)
+    dtype = get_dtype()
+
+    # ------- starting points (``sample.py:102-116``) -------
+    if trace.x_0 is None:
+        dim = density.input_size
+        if dim is None:
+            raise RuntimeError('Neither SampleTrace.x_0 nor Density'
+                               '/DensityLite.input_size is defined.')
+        trace._x_0 = multivariate_normal(
+            np.zeros(dim), np.eye(dim), trace.n_chain)
+        trace._x_0_transformed = True
+    elif not trace.x_0_transformed:
+        trace._x_0 = np.asarray(density.from_original(trace._x_0))
+        trace._x_0_transformed = True
+    x_0 = np.broadcast_to(
+        np.atleast_2d(trace._x_0), (trace.n_chain, trace._x_0.shape[-1]))
+
+    # ------- iteration bookkeeping (``base_hmc.py:98-111``) -------
+    i_iter = trace.i_iter
+    if n_run is None:
+        n_run = trace.n_iter - i_iter
+    else:
+        n_run = int(n_run)
+        if n_run <= 0:
+            raise ValueError('invalid value for n_run.')
+        if n_run > trace.n_iter - i_iter:
+            trace.n_iter = i_iter + n_run
+    if n_run == 0:
+        return TraceTuple(trace)
+
+    # ------- pre-run finite check (``base_hmc.py:42-46``) -------
+    logp_0, grad_0 = density.logp_and_grad(x_0, original_space=False)
+    if not (np.isfinite(logp_0).all() and np.isfinite(grad_0).all()):
+        raise ValueError('failed to get finite logp and/or grad at x_0.')
+
+    # ------- driver + carry -------
+    if sampler in ('TNUTS', 'THMC'):
+        from ..samplers.tempered import run_tempered
+        return run_tempered(density, trace, sampler, n_run, verbose, n_update,
+                            mesh)
+
+    algo = 'nuts' if sampler == 'NUTS' else 'hmc'
+    driver = ChainDriver(
+        density.device_logp_and_grad(original_space=False), algorithm=algo,
+        max_treedepth=getattr(trace, 'max_treedepth', 10),
+        n_int_step=getattr(trace, 'n_int_step', 32),
+        max_change=trace.max_change, target_accept=trace.target_accept,
+        gamma=trace.gamma, k=trace.k, t_0=trace.t_0,
+        adapt_step_size=trace.adapt_step_size,
+        update_window=trace.update_window, doubling=trace.doubling,
+        adapt_metric=trace.adapt_metric)
+
+    if trace._carry is not None:
+        carry = jax.tree.map(jnp.asarray, trace._carry)
+    else:
+        carry = _init_carry(trace, x_0, dtype)
+        trace._chain_initialized = True
+    carry = shard_chains(carry, trace.n_chain, mesh)
+
+    # ------- chunked run with progress reporting -------
+    if n_update is None:
+        n_update = max(n_run // 5, 1)
+    else:
+        n_update = max(int(n_update), 1)
+
+    all_samples, all_stats = [], []
+    t_start = time.time()
+    done = 0
+    while done < n_run:
+        n_step = min(n_update, n_run - done)
+        it0 = i_iter + done
+        warmup_flags = (it0 + np.arange(n_step)) < trace.n_warmup
+        t_i = time.time()
+        carry, (samples, (stats, extras)) = driver.run(carry, warmup_flags)
+        samples = np.asarray(samples)  # (n_step, n_chain, dim)
+        stats_np = {k: np.asarray(v).T for k, v in
+                    {**stats._asdict(), **extras}.items()}
+        all_samples.append(np.swapaxes(samples, 0, 1))
+        all_stats.append(stats_np)
+        done += n_step
+        if verbose:
+            t_d = time.time() - t_i
+            n_div = int(stats_np['diverging'].sum())
+            msg = (f' CHAINS [0-{trace.n_chain - 1}] : sampling proceeding '
+                   f'[ {i_iter + done} / {trace.n_iter} ], last {n_step} '
+                   f'samples used {t_d:.2f} seconds')
+            msg += (f', while divergence encountered in {n_div} sample(s).'
+                    if n_div / (n_step * trace.n_chain) > 0.05 else '.')
+            if (i_iter + done) <= trace.n_warmup:
+                msg += ' (warmup)'
+            print(msg)
+
+    samples = np.concatenate(all_samples, axis=1)
+    stats_arrays = {k: np.concatenate([s[k] for s in all_stats], axis=1)
+                    for k in all_stats[0]}
+    trace._append_results(samples, stats_arrays)
+    trace._carry = jax.tree.map(np.asarray, carry)
+
+    # back-transform to original space (``sample.py:175-177``)
+    trace._samples_original = np.asarray(density.to_original(trace._samples))
+    trace._logp_original = np.asarray(density.to_original_density(
+        trace.logp.reshape(-1), x_trans=trace._samples.reshape(
+            (-1, trace._samples.shape[-1])))).reshape(trace.logp.shape)
+
+    if verbose:
+        t_f = time.time() - t_start
+        print(f' CHAINS [0-{trace.n_chain - 1}] : sampling finished '
+              f'[ {trace.i_iter} / {trace.n_iter} ], obtained {n_run} '
+              f'samples per chain in {t_f:.2f} seconds.')
+
+    if not np.all(stats_arrays['warmup'][:, -1:]):
+        # post-warmup acceptance check per chain (``step_size.py:53-68``)
+        from ..samplers.step_size import StepSizeState
+        ss = trace._carry.step
+        for i in range(trace.n_chain):
+            si = jax.tree.map(lambda a: a[i], ss)
+            msg = check_acceptance(si, trace.target_accept, i)
+            if msg is not None:
+                warnings.warn(msg, RuntimeWarning)
+
+    return TraceTuple(trace)

@@ -1,0 +1,149 @@
+"""Bounded <-> unbounded constraint transforms, vectorized for XLA.
+
+TPU-native equivalent of the reference's 12 Cython kernels
+(``bayesfast/transforms/_constraint.pyx:19-226``). The per-dimension scalar
+loops with data-dependent branches become branch-free masked VPU ops over the
+last axis, batched over arbitrary leading axes; the three derivative orders
+(f, j = d/dx, jj = d2/dx2) keep the reference's exact formulas:
+
+With ``t = (x - lo) / (hi - lo)`` and bound flags (lower, upper):
+  * both bounds:  y = logit(t)
+  * lower only:   y = log(t)
+  * upper only:   y = log(1 - t)
+  * no bounds:    y = t   (pure affine rescale)
+and ``to_original`` is the inverse (sigmoid / exp / 1-exp) mapped back through
+the affine rescale.
+
+Out-of-bound inputs produce nan/inf instead of raising (the reference raises
+``ValueError``; raising is impossible under jit — samplers treat non-finite
+logp as divergence/rejection, which is the behaviorally equivalent outcome).
+
+``scales`` is ``None`` (identity) or an ``(n, 2)`` array of [lo, hi];
+``hard_bounds`` is a bool, or an ``(n,)``/``(n, 2)`` bool array.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_dtype
+
+__all__ = [
+    'normalize_scales', 'normalize_bounds',
+    'from_original', 'from_original_grad', 'from_original_grad2',
+    'to_original', 'to_original_grad', 'to_original_grad2',
+]
+
+
+def normalize_scales(scales):
+    """Return scales as an (n, 2) float array, or None."""
+    if scales is None:
+        return None
+    scales = np.asarray(scales, dtype=np.float64)
+    if scales.ndim == 1:
+        scales = np.stack([np.zeros_like(scales), scales], axis=-1)
+    if not (scales.ndim == 2 and scales.shape[-1] == 2):
+        raise ValueError('I do not know how to interpret the shape of '
+                         'input_scales.')
+    return scales
+
+
+def normalize_bounds(bounds, n):
+    """Return hard_bounds as an (n, 2) bool array."""
+    if isinstance(bounds, bool):
+        return np.full((n, 2), bounds)
+    bounds = np.atleast_1d(bounds).astype(bool)
+    if bounds.ndim == 1:
+        bounds = np.stack([bounds, bounds], axis=-1)
+    if not (bounds.ndim == 2 and bounds.shape[-1] == 2):
+        raise ValueError('I do not know how to interpret the shape of '
+                         'hard_bounds.')
+    return bounds
+
+
+def _prep(x, scales, bounds):
+    dtype = get_dtype()
+    x = jnp.asarray(x, dtype)
+    lo = jnp.asarray(scales[:, 0], dtype)
+    hi = jnp.asarray(scales[:, 1], dtype)
+    width = hi - lo
+    b = normalize_bounds(bounds, scales.shape[0])
+    has_lo = jnp.asarray(b[:, 0])
+    has_hi = jnp.asarray(b[:, 1])
+    return x, lo, width, has_lo, has_hi
+
+
+def from_original(x, scales, bounds):
+    """Map original (bounded) coordinates to unbounded sampling coordinates."""
+    if scales is None:
+        return jnp.asarray(x, get_dtype())
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    t = (x - lo) / width
+    both = has_lo & has_hi
+    y = jnp.where(both, jnp.log(t) - jnp.log1p(-t), t)
+    y = jnp.where(has_lo & ~has_hi, jnp.log(t), y)
+    y = jnp.where(~has_lo & has_hi, jnp.log1p(-t), y)
+    return y
+
+
+def from_original_grad(x, scales, bounds):
+    """d(from_original)/dx, elementwise (the Jacobian is diagonal)."""
+    if scales is None:
+        return jnp.ones_like(jnp.asarray(x, get_dtype()))
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    t = (x - lo) / width
+    g = jnp.where(has_lo & has_hi, 1.0 / (t * (1.0 - t)),
+                  jnp.ones_like(t))
+    g = jnp.where(has_lo & ~has_hi, 1.0 / t, g)
+    g = jnp.where(~has_lo & has_hi, 1.0 / (t - 1.0), g)
+    return g / width
+
+
+def from_original_grad2(x, scales, bounds):
+    """d2(from_original)/dx2, elementwise."""
+    if scales is None:
+        return jnp.zeros_like(jnp.asarray(x, get_dtype()))
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    t = (x - lo) / width
+    omt = 1.0 - t
+    g = jnp.where(has_lo & has_hi, (2.0 * t - 1.0) / (t * t * omt * omt),
+                  jnp.zeros_like(t))
+    g = jnp.where(has_lo & ~has_hi, -1.0 / (t * t), g)
+    g = jnp.where(~has_lo & has_hi, 1.0 / ((t - 1.0) * omt), g)
+    return g / (width * width)
+
+
+def to_original(x, scales, bounds):
+    """Map unbounded sampling coordinates back to original coordinates."""
+    if scales is None:
+        return jnp.asarray(x, get_dtype())
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    t = jnp.where(has_lo & has_hi, 1.0 / (1.0 + jnp.exp(-x)), x)
+    t = jnp.where(has_lo & ~has_hi, jnp.exp(x), t)
+    t = jnp.where(~has_lo & has_hi, 1.0 - jnp.exp(x), t)
+    return lo + t * width
+
+
+def to_original_grad(x, scales, bounds):
+    """d(to_original)/dx, elementwise."""
+    if scales is None:
+        return jnp.ones_like(jnp.asarray(x, get_dtype()))
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    sig = 1.0 / (1.0 + jnp.exp(-x))
+    g = jnp.where(has_lo & has_hi, sig * (1.0 - sig), jnp.ones_like(x))
+    g = jnp.where(has_lo & ~has_hi, jnp.exp(x), g)
+    g = jnp.where(~has_lo & has_hi, -jnp.exp(x), g)
+    return g * width
+
+
+def to_original_grad2(x, scales, bounds):
+    """d2(to_original)/dx2, elementwise."""
+    if scales is None:
+        return jnp.zeros_like(jnp.asarray(x, get_dtype()))
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    ex = jnp.exp(x)
+    g = jnp.where(has_lo & has_hi,
+                  -ex * (ex - 1.0) / ((ex + 1.0) ** 3),
+                  jnp.zeros_like(x))
+    g = jnp.where(has_lo & ~has_hi, ex, g)
+    g = jnp.where(~has_lo & has_hi, -ex, g)
+    return g * width

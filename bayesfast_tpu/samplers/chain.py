@@ -1,0 +1,106 @@
+"""Batched multi-chain driver: vmap over chains, scan over iterations.
+
+This replaces the reference's process-per-chain architecture
+(``bayesfast/core/sample.py:165-214`` + ``base_hmc.py:87-172``): instead of a
+worker pool picking one chain each, all chains advance in lockstep inside a
+single jitted program, with the chain axis ready to be sharded over a device
+mesh. Per-chain adaptation state (dual-averaging step size, Welford metric)
+lives in the scan carry; samples and per-iteration statistics come out as
+stacked arrays.
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import hmc_transition
+from .metrics import update_metric
+from .nuts import nuts_transition
+from .step_size import current_step_size, update_step_size
+
+__all__ = ['ChainCarry', 'ChainDriver']
+
+
+class ChainCarry(NamedTuple):
+    key: Any      # (n_chain,) PRNG keys
+    q: Any        # (n_chain, dim)
+    step: Any     # StepSizeState, batched over chains
+    metric: Any   # Diag/FullMetricState, batched over chains
+
+
+class ChainDriver:
+    """Compiles and runs the batched sampling loop for one configuration.
+
+    Parameters mirror the reference trace configs (``sample_trace.py:157-537``).
+    ``algorithm`` is 'nuts' or 'hmc'.
+    """
+
+    def __init__(self, logp_and_grad, algorithm='nuts', max_treedepth=10,
+                 n_int_step=32, max_change=1000., target_accept=0.8,
+                 gamma=0.05, k=0.75, t_0=10., adapt_step_size=True,
+                 update_window=1, doubling=True, adapt_metric=True):
+        self._logp_and_grad = logp_and_grad
+        self._algorithm = algorithm
+        self._max_treedepth = int(max_treedepth)
+        self._n_int_step = int(n_int_step)
+        self._max_change = float(max_change)
+        self._target_accept = float(target_accept)
+        self._gamma = float(gamma)
+        self._k = float(k)
+        self._t_0 = float(t_0)
+        self._adapt_step_size = bool(adapt_step_size)
+        self._update_window = int(update_window)
+        self._doubling = bool(doubling)
+        self._adapt_metric = bool(adapt_metric)
+        self._compiled = None
+
+    def _one_chain_step(self, key, q, step_state, metric, warmup):
+        eps = current_step_size(step_state, warmup)
+        key, k_t = jax.random.split(key)
+        if self._algorithm == 'nuts':
+            q_new, stats = nuts_transition(
+                k_t, q, metric, eps, self._logp_and_grad,
+                self._max_treedepth, self._max_change)
+            accept_stat = stats.mean_tree_accept
+        elif self._algorithm == 'hmc':
+            q_new, stats = hmc_transition(
+                k_t, q, metric, eps, self._logp_and_grad,
+                self._n_int_step, self._max_change)
+            accept_stat = stats.accept_stat
+        else:
+            raise ValueError(f'unknown algorithm {self._algorithm}.')
+        step_state = update_step_size(
+            step_state, accept_stat, warmup, self._target_accept, self._gamma,
+            self._k, self._t_0, self._adapt_step_size)
+        if self._adapt_metric:
+            metric = update_metric(metric, q_new, warmup,
+                                   self._update_window, self._doubling)
+        # step sizes recorded *after* the update, as in ``base_hmc.py:80-84``
+        extras = {'step_size': jnp.exp(step_state.log_step),
+                  'step_size_bar': jnp.exp(step_state.log_bar),
+                  'warmup': warmup}
+        return key, q_new, step_state, metric, (stats, extras)
+
+    def _build(self):
+        batched = jax.vmap(self._one_chain_step,
+                           in_axes=(0, 0, 0, 0, None))
+
+        def scan_fn(carry, warmup_flags):
+            def step(c, w):
+                key, q, ss, ms, out = batched(c.key, c.q, c.step, c.metric, w)
+                return ChainCarry(key, q, ss, ms), (q, out)
+            return jax.lax.scan(step, carry, warmup_flags)
+
+        return jax.jit(scan_fn, donate_argnums=(0,))
+
+    def run(self, carry, warmup_flags):
+        """Run ``len(warmup_flags)`` iterations; returns (carry, (samples, stats)).
+
+        ``samples`` has shape (n_steps, n_chain, dim); stats leaves are
+        (n_steps, n_chain).
+        """
+        if self._compiled is None:
+            self._compiled = self._build()
+        return self._compiled(carry, jnp.asarray(warmup_flags))

@@ -1,0 +1,163 @@
+"""Mass-matrix (quadratic metric) states and Welford adaptation, functional.
+
+TPU-native counterpart of ``bayesfast/samplers/hmc_utils/metrics.py``. The
+reference's mutable ``QuadMetric*`` objects become immutable pytree states
+carried through the sampling ``lax.scan``; the Welford foreground/background
+window switching with window doubling (``metrics.py:186-211, 300-326``) is
+reproduced with ``jnp.where`` masking so thousands of chains adapt in
+lockstep.
+
+Two metric families (selected statically, giving two jit variants):
+  * diag  — ``var`` (dim,):      velocity = var * p,  p ~ N(0, diag(1/var))
+  * full  — ``cov`` (dim, dim):  velocity = cov @ p,  p ~ N(0, cov^{-1})
+
+Semantics notes kept from the reference:
+  * ``current_variance`` divides by the total weight (including the initial
+    pseudo-weight 10), not n-1 (``metrics.py:362-368``).
+  * With ``update_window=1`` the metric refreshes every warmup iteration.
+  * On a failed Cholesky of the adapted full covariance the previous factor
+    is kept while the covariance still updates (``metrics.py:293-298``).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['DiagMetricState', 'FullMetricState', 'init_diag_metric',
+           'init_full_metric', 'velocity', 'kinetic_energy',
+           'sample_momentum', 'update_metric']
+
+
+class _Welford(NamedTuple):
+    mean: jnp.ndarray   # (dim,)
+    raw: jnp.ndarray    # (dim,) for diag, (dim, dim) for full
+    weight: jnp.ndarray  # scalar
+
+
+class DiagMetricState(NamedTuple):
+    var: jnp.ndarray          # (dim,) current metric diagonal covariance
+    fg: _Welford
+    bg: _Welford
+    n_samples: jnp.ndarray    # int32 scalar
+    prev_update: jnp.ndarray  # int32 scalar
+    adapt_window: jnp.ndarray  # int32 scalar (doubles over warmup)
+
+
+class FullMetricState(NamedTuple):
+    cov: jnp.ndarray          # (dim, dim)
+    chol: jnp.ndarray         # (dim, dim) lower Cholesky of cov
+    fg: _Welford
+    bg: _Welford
+    n_samples: jnp.ndarray
+    prev_update: jnp.ndarray
+    adapt_window: jnp.ndarray
+
+
+def _zero_welford(dim, dtype, full):
+    shape = (dim, dim) if full else (dim,)
+    return _Welford(jnp.zeros((dim,), dtype), jnp.zeros(shape, dtype),
+                    jnp.zeros((), dtype))
+
+
+def init_diag_metric(initial_mean, initial_var, initial_weight=10.,
+                     adapt_window=60):
+    """Build the initial diag metric state (``metrics.py:148-179``)."""
+    mean = jnp.asarray(initial_mean)
+    var = jnp.asarray(initial_var)
+    dtype = var.dtype
+    w = jnp.asarray(initial_weight, dtype)
+    fg = _Welford(mean, var * w, w)
+    return DiagMetricState(
+        var=var, fg=fg, bg=_zero_welford(var.shape[0], dtype, False),
+        n_samples=jnp.zeros((), jnp.int32),
+        prev_update=jnp.zeros((), jnp.int32),
+        adapt_window=jnp.asarray(adapt_window, jnp.int32))
+
+
+def init_full_metric(initial_mean, initial_cov, initial_weight=10.,
+                     adapt_window=60):
+    """Build the initial full metric state (``metrics.py:259-291``)."""
+    mean = jnp.asarray(initial_mean)
+    cov = jnp.asarray(initial_cov)
+    dtype = cov.dtype
+    w = jnp.asarray(initial_weight, dtype)
+    fg = _Welford(mean, cov * w, w)
+    return FullMetricState(
+        cov=cov, chol=jnp.linalg.cholesky(cov), fg=fg,
+        bg=_zero_welford(cov.shape[0], dtype, True),
+        n_samples=jnp.zeros((), jnp.int32),
+        prev_update=jnp.zeros((), jnp.int32),
+        adapt_window=jnp.asarray(adapt_window, jnp.int32))
+
+
+def velocity(metric, p):
+    """M^{-1} p (the reference's ``QuadMetric.velocity``)."""
+    if isinstance(metric, DiagMetricState):
+        return metric.var * p
+    return metric.cov @ p
+
+
+def kinetic_energy(p, v):
+    return 0.5 * jnp.dot(p, v)
+
+
+def sample_momentum(metric, key):
+    """Draw p ~ N(0, M) where M = cov^{-1} of the metric's covariance."""
+    if isinstance(metric, DiagMetricState):
+        z = jax.random.normal(key, metric.var.shape, metric.var.dtype)
+        return z / jnp.sqrt(metric.var)
+    dim = metric.cov.shape[0]
+    z = jax.random.normal(key, (dim,), metric.cov.dtype)
+    return jax.scipy.linalg.solve_triangular(metric.chol.T, z, lower=False)
+
+
+def _welford_add(w, x, full):
+    n = w.weight + 1.0
+    old_diff = x - w.mean
+    mean = w.mean + old_diff / n
+    new_diff = x - mean
+    if full:
+        raw = w.raw + jnp.outer(new_diff, old_diff)
+    else:
+        raw = w.raw + old_diff * new_diff
+    return _Welford(mean, raw, n)
+
+
+def update_metric(metric, sample, warmup, update_window=1, doubling=True):
+    """One adaptation step; no-op (via masking) when ``warmup`` is False."""
+    full = isinstance(metric, FullMetricState)
+    dim = sample.shape[0]
+    dtype = sample.dtype
+
+    delta = metric.n_samples - metric.prev_update
+    fg = _welford_add(metric.fg, sample, full)
+    bg = _welford_add(metric.bg, sample, full)
+
+    do_refresh = ((delta + 1) % update_window) == 0
+    if full:
+        cov_new = fg.raw / fg.weight
+        chol_new = jnp.linalg.cholesky(cov_new)
+        chol_ok = jnp.all(jnp.isfinite(chol_new))
+        cov = jnp.where(do_refresh, cov_new, metric.cov)
+        chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
+    else:
+        var = jnp.where(do_refresh, fg.raw / fg.weight, metric.var)
+
+    do_switch = delta >= metric.adapt_window
+    zero = _zero_welford(dim, dtype, full)
+    fg2 = jax.tree.map(lambda a, b: jnp.where(do_switch, b, a), fg, bg)
+    bg2 = jax.tree.map(lambda a, b: jnp.where(do_switch, b, a), bg, zero)
+    prev_update = jnp.where(do_switch, metric.n_samples, metric.prev_update)
+    grown = metric.adapt_window * 2 if doubling else metric.adapt_window
+    adapt_window = jnp.where(do_switch, grown, metric.adapt_window)
+    n_samples = metric.n_samples + 1
+
+    if full:
+        new = FullMetricState(cov, chol, fg2, bg2, n_samples, prev_update,
+                              adapt_window)
+    else:
+        new = DiagMetricState(var, fg2, bg2, n_samples, prev_update,
+                              adapt_window)
+    # mask the whole update out when not in warmup
+    return jax.tree.map(lambda n, o: jnp.where(warmup, n, o), new, metric)

@@ -1,0 +1,289 @@
+"""Iterative No-U-Turn transition kernel, vmappable over chains.
+
+TPU-native reformulation of the reference's recursive tree builder
+(``bayesfast/samplers/nuts.py:22-217``, a modified pymc3 NUTS). Recursion is
+control-flow the XLA compiler cannot trace, so the binary tree is built
+*iteratively* with a fixed-size checkpoint stack (one frame per depth level,
+the classic binary-counter merge): after leaf ``k`` is integrated it is merged
+with the stack top once per trailing 1-bit of ``k``, which reproduces the
+recursive merge order exactly. All loops are ``lax.while_loop``s, so under
+``vmap`` thousands of chains run the same lockstep program with masking.
+
+Semantics faithfully kept from the reference (they affect sampling statistics):
+  * multinomial proposal sampling via ``logbern(log_size2 - log_size_total)``
+    at every merge (``nuts.py:81-85, 163-167``);
+  * the generalized U-turn check ``p_sum . v_left <= 0 or p_sum . v_right <= 0``
+    plus the *extra* inner-subtree checks at merged depth > 1 and at every
+    main-tree extension (``nuts.py:88-101, 148-161``);
+  * divergence when ``|E - E_0| >= max_change`` with nan -> inf
+    (``nuts.py:113-128``);
+  * per-leaf acceptance statistics ``min(1, exp(-dE))`` accumulated over all
+    proposals including divergent ones (``nuts.py:120-130``);
+  * aborted extensions (divergence/turning inside the new subtree) do not
+    merge the subtree's proposal or momentum sum (``nuts.py:78-79``).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .integration import IntegratorState, compute_state, leapfrog
+
+__all__ = ['NutsStats', 'nuts_transition']
+
+
+class NutsStats(NamedTuple):
+    logp: jnp.ndarray
+    energy: jnp.ndarray
+    tree_depth: jnp.ndarray
+    tree_size: jnp.ndarray
+    mean_tree_accept: jnp.ndarray
+    energy_change: jnp.ndarray
+    max_energy_change: jnp.ndarray
+    diverging: jnp.ndarray
+
+
+class _Proposal(NamedTuple):
+    q: jnp.ndarray
+    energy: jnp.ndarray
+    logp: jnp.ndarray
+
+
+class _TreeView(NamedTuple):
+    """Summary of a completed subtree (integration order: left -> right)."""
+    left_p: jnp.ndarray
+    left_v: jnp.ndarray
+    right_p: jnp.ndarray
+    right_v: jnp.ndarray
+    p_sum: jnp.ndarray
+    log_size: jnp.ndarray
+    prop: _Proposal
+
+
+def _logbern(key, log_p):
+    return jnp.log(jax.random.uniform(key)) < log_p
+
+
+def _uturn(p_sum, v_left, v_right):
+    return (jnp.dot(p_sum, v_left) <= 0) | (jnp.dot(p_sum, v_right) <= 0)
+
+
+def _merge(key, t1, t2, merged_depth):
+    """Join adjacent subtrees t1 (older/left) and t2 (newer/right).
+
+    Mirrors the join in ``nuts.py:146-167`` including the extra U-turn checks
+    when the merged depth exceeds 1.
+    """
+    p_sum = t1.p_sum + t2.p_sum
+    turning = _uturn(p_sum, t1.left_v, t2.right_v)
+    p_sum1 = t1.p_sum + t2.left_p
+    turning1 = _uturn(p_sum1, t1.left_v, t2.left_v)
+    p_sum2 = t1.right_p + t2.p_sum
+    turning2 = _uturn(p_sum2, t1.right_v, t2.right_v)
+    turning = turning | ((merged_depth > 1) & (turning1 | turning2))
+
+    log_size = jnp.logaddexp(t1.log_size, t2.log_size)
+    take2 = _logbern(key, t2.log_size - log_size)
+    prop = jax.tree.map(lambda a, b: jnp.where(take2, b, a), t1.prop, t2.prop)
+    merged = _TreeView(t1.left_p, t1.left_v, t2.right_p, t2.right_v,
+                       p_sum, log_size, prop)
+    return merged, turning
+
+
+def _leaf_view(state):
+    return _TreeView(state.p, state.v, state.p, state.v, state.p,
+                     jnp.zeros(()), _Proposal(state.q, state.energy,
+                                              state.logp))
+
+
+def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
+                   start_energy, max_change, max_treedepth):
+    """Iteratively build a subtree of ``2**depth`` leaves from start_state.
+
+    Returns (key, tree: _TreeView, end_state, accept_sum, n_prop, max_dE,
+    diverging, turning). ``end_state`` is the last successfully integrated
+    state (the subtree's right end in integration order).
+    """
+    dim = start_state.q.shape[0]
+    dtype = start_state.q.dtype
+    zerov = jnp.zeros((dim,), dtype)
+    max_lvl = max(max_treedepth, 1)
+
+    stack = _TreeView(
+        left_p=jnp.zeros((max_lvl, dim), dtype),
+        left_v=jnp.zeros((max_lvl, dim), dtype),
+        right_p=jnp.zeros((max_lvl, dim), dtype),
+        right_v=jnp.zeros((max_lvl, dim), dtype),
+        p_sum=jnp.zeros((max_lvl, dim), dtype),
+        log_size=jnp.zeros((max_lvl,), dtype),
+        prop=_Proposal(jnp.zeros((max_lvl, dim), dtype),
+                       jnp.zeros((max_lvl,), dtype),
+                       jnp.zeros((max_lvl,), dtype)))
+
+    n_leaf = jnp.left_shift(jnp.int32(1), depth)
+    dummy = _leaf_view(start_state)
+
+    def cond(c):
+        return (c['k'] < n_leaf) & ~c['diverging'] & ~c['turning']
+
+    def body(c):
+        key = c['key']
+        new_state = leapfrog(metric, logp_and_grad, eps, c['cur'])
+        d_energy = new_state.energy - start_energy
+        d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
+        max_de = jnp.where(jnp.abs(d_energy) > jnp.abs(c['max_de']),
+                           d_energy, c['max_de'])
+        div = ~(jnp.abs(d_energy) < max_change)
+        accept = jnp.minimum(1.0, jnp.exp(-d_energy))
+        accept_sum = c['accept_sum'] + jnp.where(div, 0.0, accept)
+        n_prop = c['n_prop'] + 1
+
+        leaf = _TreeView(new_state.p, new_state.v, new_state.p, new_state.v,
+                         new_state.p, -d_energy,
+                         _Proposal(new_state.q, new_state.energy,
+                                   new_state.logp))
+
+        # binary-counter merges: merge while bit m of k is 1
+        # (skipped entirely when the new leaf diverged, ``nuts.py:130-132``)
+        def mcond(mc):
+            return (((c['k'] >> mc['m']) & 1) == 1) & ~mc['turning'] & ~div
+
+        def mbody(mc):
+            key, sub = jax.random.split(mc['key'])
+            t1 = jax.tree.map(lambda a: a[mc['m']], mc['stack'])
+            merged, turning = _merge(sub, t1, mc['inc'], mc['m'] + 1)
+            return dict(key=key, m=mc['m'] + 1, inc=merged, turning=turning,
+                        stack=mc['stack'])
+
+        mc = jax.lax.while_loop(
+            mcond, mbody,
+            dict(key=key, m=jnp.int32(0), inc=leaf,
+                 turning=jnp.zeros((), bool), stack=c['stack']))
+        key, turning, inc, m = mc['key'], mc['turning'], mc['inc'], mc['m']
+
+        # push the merged tree at level m (masked out if turning/diverging)
+        push = ~div & ~turning
+        stack = jax.tree.map(
+            lambda arr, val: jnp.where(
+                push, arr.at[m].set(val), arr), c['stack'], inc)
+
+        return dict(
+            key=key, k=jnp.where(div, c['k'], c['k'] + 1),
+            cur=jax.tree.map(lambda a, b: jnp.where(div, a, b),
+                             c['cur'], new_state),
+            stack=stack, tree=inc,
+            accept_sum=accept_sum, n_prop=n_prop, max_de=max_de,
+            diverging=div, turning=turning)
+
+    init = dict(key=key, k=jnp.int32(0), cur=start_state, stack=stack,
+                tree=dummy, accept_sum=jnp.zeros((), dtype),
+                n_prop=jnp.int32(0), max_de=jnp.zeros((), dtype),
+                diverging=jnp.zeros((), bool), turning=jnp.zeros((), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    return (out['key'], out['tree'], out['cur'], out['accept_sum'],
+            out['n_prop'], out['max_de'], out['diverging'], out['turning'])
+
+
+def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
+                    max_change):
+    """One full NUTS iteration for a single chain (``nuts.py:205-217``).
+
+    Draws the momentum, computes the start state, runs up to
+    ``max_treedepth`` tree doublings, and returns ``(q_new, stats)``.
+    Vmapped over chains by the driver; the key/metric/step-size are per chain.
+    """
+    from .metrics import sample_momentum
+
+    key, k_mom = jax.random.split(key)
+    p0 = sample_momentum(metric, k_mom)
+    start = compute_state(metric, logp_and_grad, q0, p0)
+    start_energy = start.energy
+    dtype = q0.dtype
+
+    def cond(c):
+        return (c['depth'] < max_treedepth) & ~c['done']
+
+    def body(c):
+        key, k_dir = jax.random.split(c['key'])
+        go_right = jax.random.uniform(k_dir) < 0.5
+        eps = jnp.where(go_right, step_size, -step_size)
+        start_side = jax.tree.map(
+            lambda a, b: jnp.where(go_right, b, a), c['left'], c['right'])
+
+        (key, sub, end_state, acc, npp, mde, div, turn) = _build_subtree(
+            key, metric, logp_and_grad, start_side, c['depth'], eps,
+            start_energy, max_change, max_treedepth)
+
+        accept_sum = c['accept_sum'] + acc
+        n_prop = c['n_prop'] + npp
+        max_de = jnp.where(jnp.abs(mde) > jnp.abs(c['max_de']), mde,
+                           c['max_de'])
+        depth = c['depth'] + 1
+        aborted = div | turn
+
+        # multinomial proposal swap between main tree and new subtree
+        key, k_swap = jax.random.split(key)
+        take = _logbern(k_swap, sub.log_size - c['log_size'])
+        prop = jax.tree.map(
+            lambda a, b: jnp.where(~aborted & take, b, a), c['prop'], sub.prop)
+        log_size = jnp.where(aborted, c['log_size'],
+                             jnp.logaddexp(c['log_size'], sub.log_size))
+        p_sum_new = c['p_sum'] + sub.p_sum
+
+        # new spatial ends; sub's right (integration order) is end_state
+        new_left = jax.tree.map(
+            lambda old, new: jnp.where(go_right, old, new),
+            c['left'], end_state)
+        new_right = jax.tree.map(
+            lambda old, new: jnp.where(go_right, new, old),
+            c['right'], end_state)
+
+        # main-tree turning checks (``nuts.py:88-101``), using old p_sum and
+        # the begin/end states of the left-half and right-half in spatial order
+        turning_m = _uturn(p_sum_new, new_left.v, new_right.v)
+        # direction > 0: halves = (old tree, sub); < 0: (sub, old tree)
+        lm_psum = jnp.where(go_right, c['p_sum'], sub.p_sum)
+        rm_psum = jnp.where(go_right, sub.p_sum, c['p_sum'])
+        lm_begin_p = jnp.where(go_right, c['left'].p, end_state.p)
+        lm_begin_v = jnp.where(go_right, c['left'].v, end_state.v)
+        lm_end_p = jnp.where(go_right, c['right'].p, sub.left_p)
+        lm_end_v = jnp.where(go_right, c['right'].v, sub.left_v)
+        rm_begin_p = jnp.where(go_right, sub.left_p, c['left'].p)
+        rm_begin_v = jnp.where(go_right, sub.left_v, c['left'].v)
+        rm_end_v = jnp.where(go_right, end_state.v, c['right'].v)
+        p_sum1 = lm_psum + rm_begin_p
+        turning1 = _uturn(p_sum1, lm_begin_v, rm_begin_v)
+        p_sum2 = lm_end_p + rm_psum
+        turning2 = _uturn(p_sum2, lm_end_v, rm_end_v)
+        turning_full = turning_m | turning1 | turning2
+
+        done = aborted | turning_full
+        sel = lambda old, new: jnp.where(aborted, old, new)
+        return dict(
+            key=key,
+            left=jax.tree.map(sel, c['left'], new_left),
+            right=jax.tree.map(sel, c['right'], new_right),
+            p_sum=jnp.where(aborted, c['p_sum'], p_sum_new),
+            log_size=log_size, prop=prop, depth=depth,
+            accept_sum=accept_sum, n_prop=n_prop, max_de=max_de,
+            diverging=c['diverging'] | div, done=done)
+
+    init = dict(
+        key=key, left=start, right=start, p_sum=start.p,
+        log_size=jnp.zeros((), dtype),
+        prop=_Proposal(start.q, start.energy, start.logp),
+        depth=jnp.int32(0), accept_sum=jnp.zeros((), dtype),
+        n_prop=jnp.int32(0), max_de=jnp.zeros((), dtype),
+        diverging=jnp.zeros((), bool), done=jnp.zeros((), bool))
+    out = jax.lax.while_loop(cond, body, init)
+
+    prop = out['prop']
+    n_prop_f = jnp.maximum(out['n_prop'], 1).astype(dtype)
+    stats = NutsStats(
+        logp=prop.logp, energy=prop.energy,
+        tree_depth=out['depth'], tree_size=out['n_prop'],
+        mean_tree_accept=out['accept_sum'] / n_prop_f,
+        energy_change=prop.energy - start_energy,
+        max_energy_change=out['max_de'], diverging=out['diverging'])
+    return prop.q, stats

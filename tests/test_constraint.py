@@ -1,0 +1,66 @@
+"""Constraint-transform derivative tests vs autodiff ground truth
+(reference: ``bayesfast/tests/test_constraint.py`` uses numdifftools)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesfast_tpu.ops import constraint as con
+
+BOUND_CASES = [[False, False], [False, True], [True, False], [True, True]]
+
+
+@pytest.mark.parametrize('hb', BOUND_CASES)
+def test_from_original_grads(hb):
+    scales = con.normalize_scales(np.array([[-2.0, 3.0]]))
+    bounds = np.array([hb])
+    x = np.linspace(-1.5, 2.5, 11).reshape(-1, 1)
+
+    f = lambda v: con.from_original(v, scales, bounds)[0]
+    for xi in x:
+        g_auto = jax.grad(f)(jnp.asarray(xi))
+        g = con.from_original_grad(xi, scales, bounds)
+        assert np.allclose(np.asarray(g), np.asarray(g_auto), rtol=1e-6)
+        g2_auto = jax.grad(lambda v: jax.grad(f)(v)[0])(jnp.asarray(xi))
+        g2 = con.from_original_grad2(xi, scales, bounds)
+        assert np.allclose(np.asarray(g2), np.asarray(g2_auto), rtol=1e-6)
+
+
+@pytest.mark.parametrize('hb', BOUND_CASES)
+def test_to_original_grads(hb):
+    scales = con.normalize_scales(np.array([[-2.0, 3.0]]))
+    bounds = np.array([hb])
+    x = np.linspace(-2.0, 2.0, 11).reshape(-1, 1)
+
+    f = lambda v: con.to_original(v, scales, bounds)[0]
+    for xi in x:
+        g_auto = jax.grad(f)(jnp.asarray(xi))
+        g = con.to_original_grad(xi, scales, bounds)
+        assert np.allclose(np.asarray(g), np.asarray(g_auto), rtol=1e-6)
+        g2_auto = jax.grad(lambda v: jax.grad(f)(v)[0])(jnp.asarray(xi))
+        g2 = con.to_original_grad2(xi, scales, bounds)
+        assert np.allclose(np.asarray(g2), np.asarray(g2_auto), rtol=1e-6)
+
+
+@pytest.mark.parametrize('hb', BOUND_CASES)
+def test_round_trip(hb):
+    scales = con.normalize_scales(np.array([[0.0, 1.0], [-5.0, 2.0]]))
+    bounds = np.array([hb, hb])
+    x = np.array([[0.3, -1.0], [0.9, 1.5]])
+    y = con.from_original(x, scales, bounds)
+    x2 = con.to_original(y, scales, bounds)
+    assert np.allclose(np.asarray(x2), x, rtol=1e-10)
+
+
+def test_mixed_bounds_vector():
+    scales = con.normalize_scales(
+        np.array([[0.0, 1.0], [0.0, 1.0], [0.0, 1.0], [0.0, 1.0]]))
+    bounds = np.array(BOUND_CASES)
+    x = np.full(4, 0.25)
+    y = np.asarray(con.from_original(x, scales, bounds))
+    # none / upper / lower / both
+    assert np.isclose(y[0], 0.25)
+    assert np.isclose(y[1], np.log(0.75))
+    assert np.isclose(y[2], np.log(0.25))
+    assert np.isclose(y[3], np.log(0.25 / 0.75))
