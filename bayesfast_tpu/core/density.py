@@ -203,9 +203,17 @@ class DensityLite(_PipelineBase, _DensityBase):
             return lp, g
         return jax.value_and_grad(f)(x)
 
-    def device_logp_and_grad(self, original_space=False):
-        """Return ``fn(x_1d) -> (logp, grad)`` for use inside jitted kernels."""
-        def fn(x):
+    def current_params(self):
+        """No runtime-mutable parameters for a plain DensityLite."""
+        return ()
+
+    def device_logp_and_grad(self, original_space=False, use_surrogate=None):
+        """Return ``fn(params, x_1d) -> (logp, grad)`` for jitted kernels.
+
+        ``params`` is ignored here; the signature matches ``Density`` so the
+        sampler threads surrogate coefficients without recompiling.
+        """
+        def fn(params, x):
             return self._logp_and_grad_1(x, original_space)
         return fn
 

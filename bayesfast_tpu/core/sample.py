@@ -175,7 +175,8 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         it0 = i_iter + done
         warmup_flags = (it0 + np.arange(n_step)) < trace.n_warmup
         t_i = time.time()
-        carry, (samples, (stats, extras)) = driver.run(carry, warmup_flags)
+        carry, (samples, (stats, extras)) = driver.run(
+            carry, warmup_flags, density.current_params())
         samples = np.asarray(samples)  # (n_step, n_chain, dim)
         stats_np = {k: np.asarray(v).T for k, v in
                     {**stats._asdict(), **extras}.items()}

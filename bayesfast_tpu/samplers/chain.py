@@ -56,17 +56,18 @@ class ChainDriver:
         self._adapt_metric = bool(adapt_metric)
         self._compiled = None
 
-    def _one_chain_step(self, key, q, step_state, metric, warmup):
+    def _one_chain_step(self, key, q, step_state, metric, warmup, params):
+        lpg = lambda x: self._logp_and_grad(params, x)
         eps = current_step_size(step_state, warmup)
         key, k_t = jax.random.split(key)
         if self._algorithm == 'nuts':
             q_new, stats = nuts_transition(
-                k_t, q, metric, eps, self._logp_and_grad,
+                k_t, q, metric, eps, lpg,
                 self._max_treedepth, self._max_change)
             accept_stat = stats.mean_tree_accept
         elif self._algorithm == 'hmc':
             q_new, stats = hmc_transition(
-                k_t, q, metric, eps, self._logp_and_grad,
+                k_t, q, metric, eps, lpg,
                 self._n_int_step, self._max_change)
             accept_stat = stats.accept_stat
         else:
@@ -85,22 +86,25 @@ class ChainDriver:
 
     def _build(self):
         batched = jax.vmap(self._one_chain_step,
-                           in_axes=(0, 0, 0, 0, None))
+                           in_axes=(0, 0, 0, 0, None, None))
 
-        def scan_fn(carry, warmup_flags):
+        def scan_fn(carry, warmup_flags, params):
             def step(c, w):
-                key, q, ss, ms, out = batched(c.key, c.q, c.step, c.metric, w)
+                key, q, ss, ms, out = batched(c.key, c.q, c.step, c.metric, w,
+                                              params)
                 return ChainCarry(key, q, ss, ms), (q, out)
             return jax.lax.scan(step, carry, warmup_flags)
 
         return jax.jit(scan_fn, donate_argnums=(0,))
 
-    def run(self, carry, warmup_flags):
+    def run(self, carry, warmup_flags, params=()):
         """Run ``len(warmup_flags)`` iterations; returns (carry, (samples, stats)).
 
         ``samples`` has shape (n_steps, n_chain, dim); stats leaves are
-        (n_steps, n_chain).
+        (n_steps, n_chain). ``params`` is the density's dynamic-parameter
+        pytree (surrogate coefficients etc.), threaded as a runtime argument
+        so refits do not recompile.
         """
         if self._compiled is None:
             self._compiled = self._build()
-        return self._compiled(carry, jnp.asarray(warmup_flags))
+        return self._compiled(carry, jnp.asarray(warmup_flags), params)
