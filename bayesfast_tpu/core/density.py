@@ -207,6 +207,12 @@ class DensityLite(_PipelineBase, _DensityBase):
         """No runtime-mutable parameters for a plain DensityLite."""
         return ()
 
+    def device_logp(self, original_space=False, use_surrogate=None):
+        """Traceable scalar ``fn(x)`` (for optimizers / Laplace autodiff)."""
+        if original_space:
+            return self._logp_1
+        return self._logp_trans_1
+
     def device_logp_and_grad(self, original_space=False, use_surrogate=None):
         """Return ``fn(params, x_1d) -> (logp, grad)`` for jitted kernels.
 

@@ -438,6 +438,14 @@ class Density(Pipeline, _DensityBase):
 
         return fn
 
+    def device_logp(self, original_space=False, use_surrogate=None):
+        """Traceable scalar ``fn(x)`` with current params bound (for
+        optimizers / Laplace autodiff)."""
+        _, us = self._check_os_us(None, use_surrogate)
+        params = self.current_params()
+        return lambda x: self._logp_traced(jnp.asarray(x, get_dtype()),
+                                           params, original_space, us)
+
     # ------------- host API -------------
 
     def logp(self, x, original_space=None, use_surrogate=None,

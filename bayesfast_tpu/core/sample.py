@@ -116,8 +116,17 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     elif not trace.x_0_transformed:
         trace._x_0 = np.asarray(density.from_original(trace._x_0))
         trace._x_0_transformed = True
-    x_0 = np.broadcast_to(
-        np.atleast_2d(trace._x_0), (trace.n_chain, trace._x_0.shape[-1]))
+    x_0 = np.atleast_2d(trace._x_0)
+    if x_0.shape[0] == trace.n_chain:
+        pass
+    elif x_0.shape[0] == 1:
+        x_0 = np.broadcast_to(x_0, (trace.n_chain, x_0.shape[-1]))
+    else:
+        # pick one random row per chain (``sample_trace.py:194-199``)
+        pick_key = jax.random.fold_in(trace.random_generator, 0x517)
+        idx = np.asarray(jax.random.randint(
+            pick_key, (trace.n_chain,), 0, x_0.shape[0]))
+        x_0 = x_0[idx]
 
     # ------- iteration bookkeeping (``base_hmc.py:98-111``) -------
     i_iter = trace.i_iter

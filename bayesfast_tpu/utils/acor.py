@@ -1,0 +1,90 @@
+"""Integrated autocorrelation time (``bayesfast/utils/acor.py``, an
+emcee-derived estimator: FFT autocorrelation + Sokal auto-windowing).
+
+Used for evidence error bars; runs on host numpy (cheap), with the FFT
+convolution vectorized across walkers and dimensions instead of the
+reference's per-dimension Python loop.
+"""
+
+import logging
+
+import numpy as np
+
+__all__ = ['integrated_time', 'AutocorrError']
+
+
+def next_pow_two(n):
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def function_1d(x):
+    """Normalized autocorrelation function of a 1-d series."""
+    x = np.atleast_1d(x)
+    if x.ndim != 1:
+        raise ValueError('invalid dimensions for 1D autocorrelation function')
+    n = next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[:len(x)].real
+    acf /= acf[0]
+    return acf
+
+
+def auto_window(taus, c):
+    m = np.arange(len(taus)) < c * taus
+    if np.any(m):
+        return np.argmin(m)
+    return len(taus) - 1
+
+
+def integrated_time(x, c=5, tol=50, quiet=False):
+    """Sokal-windowed integrated autocorrelation time.
+
+    ``x`` has shape (n_t,), (n_t, n_d), or (n_w, n_t, n_d) — walker axis
+    first, time axis second, parameter axis last (reference convention).
+    """
+    x = np.atleast_1d(x)
+    if x.ndim == 1:
+        x = x[np.newaxis, :, np.newaxis]
+    if x.ndim == 2:
+        x = x[np.newaxis, :, :]
+    if x.ndim != 3:
+        raise ValueError('invalid dimensions.')
+
+    n_w, n_t, n_d = x.shape
+    # vectorized FFT autocorrelation over (walker, dim)
+    n = next_pow_two(n_t)
+    xc = x - x.mean(axis=1, keepdims=True)
+    f = np.fft.fft(xc, n=2 * n, axis=1)
+    acf = np.fft.ifft(f * np.conjugate(f), axis=1)[:, :n_t].real
+    acf /= acf[:, :1, :]
+    f_mean = acf.mean(axis=0)  # (n_t, n_d)
+
+    taus = 2.0 * np.cumsum(f_mean, axis=0) - 1.0
+    tau_est = np.empty(n_d)
+    for d in range(n_d):
+        w = auto_window(taus[:, d], c)
+        tau_est[d] = taus[w, d]
+
+    flag = tol * tau_est > n_t
+    if np.any(flag):
+        msg = (
+            'The chain is shorter than {0} times the integrated '
+            'autocorrelation time for {1} parameter(s). Use this estimate '
+            'with caution and run a longer chain!\n'
+        ).format(tol, np.sum(flag))
+        msg += 'N/{0} = {1:.0f};\ntau: {2}'.format(tol, n_t / tol, tau_est)
+        if not quiet:
+            raise AutocorrError(tau_est, msg)
+        logging.warning(msg)
+    return tau_est
+
+
+class AutocorrError(Exception):
+    """Chain too short to estimate the autocorrelation time."""
+
+    def __init__(self, tau, *args, **kwargs):
+        self.tau = tau
+        super().__init__(*args, **kwargs)
