@@ -1,3 +1,4 @@
 from . import constraint
+from . import ica
 
-__all__ = ['constraint']
+__all__ = ['constraint', 'ica']

@@ -1,0 +1,319 @@
+"""Monotone piecewise-cubic interpolators for the SIT flow.
+
+Counterpart of ``bayesfast/utils/cubic.py`` + the Cython kernels in
+``utils/_cubic.pyx``. Split into two parts:
+
+* ``cubic_spline`` — host-side fitting (numpy): percentile knot placement,
+  regression edge slopes, C2 tridiagonal solve, per-interval monotonicity
+  check with knot-insertion refinement and linear fallback — the same
+  algorithm as the reference (``cubic.py:61-194``).
+* ``CubicSplineSet`` — device-side batched evaluation: the Cython
+  binary-search ``find_interval`` becomes a vectorized ``searchsorted``
+  over padded knot arrays, and the Newton/bisection inverse becomes a
+  fixed-60-iteration bisection (``_cubic.pyx:140-168``) that keeps thousands
+  of lanes in lockstep on the VPU. Splines of different knot counts are
+  padded with +inf knots so one compiled kernel serves every (dim, layer).
+"""
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.linalg import solve_banded
+
+__all__ = ['cubic_spline', 'CubicSplineSet']
+
+
+def _is_monotone_interval(c, dx):
+    """Reference's per-interval monotonicity test (``_cubic.pyx:171-186``).
+
+    ``c`` are the 4 local coefficients, interval is [0, dx].
+    """
+    A = 3 * c[0] * 0 ** 2 + 2 * c[1] * 0 + c[2]
+    B = 3 * c[0] * dx ** 2 + 2 * c[1] * dx + c[2]
+    C = 3 * c[0] * 0 + c[1]
+    D = 3 * c[0] * dx + c[1]
+    delta = c[1] * c[1] - 3 * c[0] * c[2]
+    if A > 0 and B > 0 and (C * D) >= 0:
+        return True
+    if c[0] > 0 and delta < 0:
+        return True
+    return False
+
+
+class cubic_spline:
+    """Monotone-ish cubic interpolator fitted to percentile knots of data.
+
+    Parameters mirror the reference (``cubic.py:61``): ``x_all`` are data
+    samples, ``fun`` the function to interpolate (the KDE-cdf Gaussian map).
+    """
+
+    __slots__ = ('_x', '_n', '_c', '_y')
+
+    def __init__(self, x_all, fun, bins=100, edge_bins=1, edge_points=10,
+                 max_width=5, split=4, max_add=5, save_fun=False):
+        x_all = np.ascontiguousarray(x_all, np.float64)
+        edge_bins = min(edge_bins, bins // 4)
+        self._x = np.unique(np.percentile(
+            x_all, np.linspace(0, 100, bins + 1)[edge_bins:-edge_bins]))
+        self._y = np.asarray(fun(self._x), np.float64)
+        self._n = self._x.shape[0]
+
+        # edge slopes from regression through nearby data percentiles
+        x_edge_1 = np.percentile(
+            x_all[x_all < self._x[edge_bins]] - self._x[0],
+            np.linspace(0, 100, edge_points + 2)[1:-1])
+        y_edge_1 = np.asarray(fun(x_edge_1 + self._x[0])) - self._y[0]
+        k_edge_1 = np.sum(x_edge_1 * y_edge_1) / np.sum(x_edge_1 * x_edge_1)
+        x_edge_2 = np.percentile(
+            x_all[x_all > self._x[-edge_bins - 1]] - self._x[-1],
+            np.linspace(0, 100, edge_points + 2)[1:-1])
+        y_edge_2 = np.asarray(fun(x_edge_2 + self._x[-1])) - self._y[-1]
+        k_edge_2 = np.sum(x_edge_2 * y_edge_2) / np.sum(x_edge_2 * x_edge_2)
+
+        # split overly wide intervals before the first fit
+        diff = np.diff(self._x)
+        diff_r = diff / np.mean(diff)
+        i_1 = 0
+        while i_1 < self._n - 2 and diff_r[i_1] > max_width:
+            i_1 += 1
+        i_2 = self._n - 2
+        while i_2 > 0 and diff_r[i_2] > max_width:
+            i_2 -= 1
+        if i_1 <= i_2:
+            sparse_index = np.where(diff_r[i_1:(i_2 + 1)] > max_width)[0] + i_1
+            if sparse_index.size:
+                x_aug = np.empty(0)
+                for j in sparse_index:
+                    n_j = int(np.ceil(diff_r[j] / split))
+                    x_aug_j = np.linspace(self._x[j], self._x[j + 1],
+                                          n_j + 1)[1:-1]
+                    x_aug = np.concatenate((x_aug, x_aug_j))
+                insert_index = np.searchsorted(self._x, x_aug)
+                self._x = np.insert(self._x, insert_index, x_aug)
+                self._y = np.insert(self._y, insert_index, fun(x_aug))
+                self._n = self._x.shape[0]
+
+        self._fit(k_edge_1, k_edge_2)
+        check = self._check()
+
+        add_points = 0
+        while not np.all(check) and add_points < max_add:
+            x_aug = np.empty(0)
+            for j in np.where(~check)[0]:
+                x_aug_j = np.linspace(self._x[j], self._x[j + 1],
+                                      split + 1)[1:-1]
+                x_aug = np.concatenate((x_aug, x_aug_j))
+            insert_index = np.searchsorted(self._x, x_aug)
+            self._x = np.insert(self._x, insert_index, x_aug)
+            self._y = np.insert(self._y, insert_index, fun(x_aug))
+            if add_points == max_add - 1:
+                self._regularize_y()
+            self._n = self._x.shape[0]
+            self._fit(k_edge_1, k_edge_2)
+            check = self._check()
+            add_points += 1
+
+        if not np.all(check):
+            # linear fallback on still-non-monotone intervals
+            for i_b in np.where(~check)[0] + 1:
+                self._c[i_b, 0] = 0
+                self._c[i_b, 1] = 0
+                self._c[i_b, 2] = (self._y[i_b] - self._y[i_b - 1]) / (
+                    self._x[i_b] - self._x[i_b - 1])
+                self._c[i_b, 3] = self._y[i_b - 1]
+            check = self._check()
+        if not np.all(check):
+            warnings.warn('Not all the intervals are monotone.',
+                          RuntimeWarning)
+
+    def _fit(self, k_edge_1, k_edge_2):
+        """C2 cubic fit with clamped edge slopes (``cubic.py:153-194``)."""
+        self._c = np.zeros((self._n + 1, 4))
+        self._c[0, 2:] = (k_edge_1, self._y[0])
+        self._c[-1, 2:] = (k_edge_2, self._y[-1])
+
+        dx = np.diff(self._x)
+        slope = np.diff(self._y) / dx
+        n = self._n
+        A = np.zeros((3, n))
+        b = np.empty(n)
+        A[1, 1:-1] = 2 * (dx[:-1] + dx[1:])
+        A[0, 2:] = dx[:-1]
+        A[-1, :-2] = dx[1:]
+        b[1:-1] = 3 * (dx[1:] * slope[:-1] + dx[:-1] * slope[1:])
+        A[1, 0] = 1
+        A[0, 1] = 0
+        b[0] = k_edge_1
+        A[1, -1] = 1
+        A[-1, -2] = 0
+        b[-1] = k_edge_2
+        s = solve_banded((1, 1), A, b, overwrite_ab=True, overwrite_b=True,
+                         check_finite=False)
+        t = (s[:-1] + s[1:] - 2 * slope) / dx
+        self._c[1:-1, 0] = t / dx
+        self._c[1:-1, 1] = (slope - s[:-1]) / dx - t
+        self._c[1:-1, 2] = s[:-1]
+        self._c[1:-1, 3] = self._y[:-1]
+
+    def _check(self):
+        out = np.empty(self._n - 1, dtype=bool)
+        dxs = np.diff(self._x)
+        for i in range(1, self._n):
+            out[i - 1] = _is_monotone_interval(self._c[i], dxs[i - 1])
+        return out
+
+    def _regularize_y(self):
+        """Flatten near-non-increasing runs of y (``cubic.py:196-224``)."""
+        x_diff = np.diff(self._x)
+        k = np.diff(self._y) / x_diff
+        bad_index = np.where(k < 1e-10)[0]
+        n_b = bad_index.size
+        while n_b > 0:
+            while n_b > 0:
+                i_b = 0
+                start_b = max(bad_index[i_b] - 1, 0)
+                while i_b < n_b - 1:
+                    if bad_index[i_b + 1] - bad_index[i_b] <= 2:
+                        i_b += 1
+                    else:
+                        break
+                end_b = min(bad_index[i_b] + 1, k.size - 1)
+                k_b = (self._y[end_b + 1] - self._y[start_b]) / (
+                    self._x[end_b + 1] - self._x[start_b])
+                for j_b in range(start_b + 1, end_b + 1):
+                    self._y[j_b] = self._y[start_b] + k_b * (
+                        self._x[j_b] - self._x[start_b])
+                bad_index = bad_index[(i_b + 1):]
+                n_b = bad_index.size
+            k = np.diff(self._y) / x_diff
+            bad_index = np.where(k < 1e-8)[0]
+            n_b = bad_index.size
+
+    # ---- single-spline host evaluation via the device kernels ----
+
+    def _as_set(self):
+        return CubicSplineSet([self])
+
+    def evaluate(self, x):
+        x = np.atleast_1d(np.asarray(x, np.float64))
+        return np.asarray(self._as_set().evaluate(x[None, :])[0])
+
+    __call__ = evaluate
+
+    def derivative(self, x):
+        x = np.atleast_1d(np.asarray(x, np.float64))
+        return np.asarray(self._as_set().derivative(x[None, :])[0])
+
+    def solve(self, y):
+        y = np.atleast_1d(np.asarray(y, np.float64))
+        return np.asarray(self._as_set().solve(y[None, :])[0])
+
+
+# ------------------- batched device kernels -------------------
+
+
+def _eval_local(c, t):
+    return ((c[..., 0] * t + c[..., 1]) * t + c[..., 2]) * t + c[..., 3]
+
+
+def _deriv_local(c, t):
+    return (3.0 * c[..., 0] * t + 2.0 * c[..., 1]) * t + c[..., 2]
+
+
+@jax.jit
+def _set_evaluate(xs, cs, m, xp):
+    """xs: (D, M) padded knots; cs: (D, M+1, 4); m: (D,); xp: (D, n)."""
+    def one(x_knots, c, m_d, pts):
+        j = jnp.searchsorted(x_knots, pts, side='right')
+        j = jnp.minimum(j, m_d)
+        j_in = jnp.clip(j, 1, m_d)
+        dx_in = pts - x_knots[j_in - 1]
+        dx_lo = pts - x_knots[0]
+        cj = c[j]
+        inner = _eval_local(cj, dx_in)
+        lo = c[0, 2] * dx_lo + c[0, 3]
+        hi = c[m_d, 2] * (pts - x_knots[m_d - 1]) + c[m_d, 3]
+        out = jnp.where(j == 0, lo, jnp.where(j == m_d, hi, inner))
+        return out
+    return jax.vmap(one)(xs, cs, m, xp)
+
+
+@jax.jit
+def _set_derivative(xs, cs, m, xp):
+    def one(x_knots, c, m_d, pts):
+        j = jnp.searchsorted(x_knots, pts, side='right')
+        j = jnp.minimum(j, m_d)
+        j_in = jnp.clip(j, 1, m_d)
+        dx_in = pts - x_knots[j_in - 1]
+        cj = c[j]
+        inner = _deriv_local(cj, dx_in)
+        out = jnp.where(j == 0, c[0, 2], jnp.where(j == m_d, c[m_d, 2],
+                                                   inner))
+        return out
+    return jax.vmap(one)(xs, cs, m, xp)
+
+
+@jax.jit
+def _set_solve(xs, ys, cs, m, yp):
+    """Inverse via 60-step lockstep bisection (``_cubic.pyx:140-168``)."""
+    def one(x_knots, y_knots, c, m_d, pts):
+        j = jnp.searchsorted(y_knots, pts, side='right')
+        j = jnp.minimum(j, m_d)
+        j_in = jnp.clip(j, 1, m_d)
+        x0 = x_knots[j_in - 1]
+        x1 = x_knots[jnp.minimum(j_in, m_d - 1)]
+        cj = c[j]
+
+        def body(_, ab):
+            a, b = ab
+            t = 0.5 * (a + b)
+            y = _eval_local(cj, t) - pts
+            a = jnp.where(y > 0, a, t)
+            b = jnp.where(y > 0, t, b)
+            return (a, b)
+
+        a0 = jnp.zeros_like(pts)
+        b0 = x1 - x0
+        a, b = jax.lax.fori_loop(0, 60, body, (a0, b0))
+        t = 0.5 * (a + b)
+        inner = x0 + t
+        lo = x_knots[0] + (pts - c[0, 3]) / c[0, 2]
+        hi = x_knots[m_d - 1] + (pts - c[m_d, 3]) / c[m_d, 2]
+        return jnp.where(j == 0, lo, jnp.where(j == m_d, hi, inner))
+    return jax.vmap(one)(xs, ys, cs, m, yp)
+
+
+class CubicSplineSet:
+    """A batch of fitted 1-d splines (one per dimension) with padded storage
+    for single-kernel evaluation. Inputs/outputs have shape (D, n_points)."""
+
+    def __init__(self, splines, pad_to=None):
+        self.splines = list(splines)
+        D = len(self.splines)
+        m = np.array([s._n for s in self.splines], np.int32)
+        M = int(m.max()) if pad_to is None else int(pad_to)
+        if M < m.max():
+            raise ValueError('pad_to smaller than max knot count.')
+        xs = np.full((D, M), np.inf)
+        ys = np.full((D, M), np.inf)
+        cs = np.zeros((D, M + 1, 4))
+        for d, s in enumerate(self.splines):
+            xs[d, :s._n] = s._x
+            ys[d, :s._n] = s._y
+            cs[d, :s._n + 1] = s._c
+        self.xs = jnp.asarray(xs)
+        self.ys = jnp.asarray(ys)
+        self.cs = jnp.asarray(cs)
+        self.m = jnp.asarray(m)
+
+    def evaluate(self, xp):
+        return _set_evaluate(self.xs, self.cs, self.m, jnp.asarray(xp))
+
+    def derivative(self, xp):
+        return _set_derivative(self.xs, self.cs, self.m, jnp.asarray(xp))
+
+    def solve(self, yp):
+        return _set_solve(self.xs, self.ys, self.cs, self.m,
+                          jnp.asarray(yp))

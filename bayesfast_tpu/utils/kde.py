@@ -1,0 +1,110 @@
+"""Weighted Gaussian kernel density estimation
+(``bayesfast/utils/kde.py``, a scipy fork in the reference).
+
+Compact reimplementation: weighted Scott/Silverman bandwidth with a
+``bw_factor`` multiplier, n-d logpdf, and the 1-d ``cdf`` (sum of ndtr terms)
+that drives the SIT Gaussianization.
+"""
+
+import numpy as np
+from scipy.special import ndtr, logsumexp
+
+__all__ = ['kde']
+
+
+class kde:
+    """Gaussian KDE with optional weights.
+
+    Parameters
+    ----------
+    dataset : (n,) or (n, d) array
+        Data points (rows are points).
+    bw_method : 'scott' | 'silverman' | float
+        Bandwidth rule.
+    bw_factor : float
+        Extra multiplicative factor on the bandwidth.
+    weights : (n,) array or None
+        Point weights (normalized internally).
+    """
+
+    def __init__(self, dataset, bw_method='scott', bw_factor=1.,
+                 weights=None):
+        dataset = np.asarray(dataset, np.float64)
+        if dataset.ndim == 1:
+            dataset = dataset[:, None]
+        if dataset.ndim != 2 or dataset.shape[0] < 2:
+            raise ValueError('dataset should have at least 2 points.')
+        self.dataset = dataset
+        self.n, self.d = dataset.shape
+        if weights is None:
+            self._weights = np.full(self.n, 1.0 / self.n)
+        else:
+            weights = np.asarray(weights, np.float64)
+            if weights.shape != (self.n,):
+                raise ValueError('invalid shape for weights.')
+            self._weights = weights / np.sum(weights)
+        self._neff = 1.0 / np.sum(self._weights ** 2)
+        self._bw_factor = float(bw_factor)
+        self.set_bandwidth(bw_method)
+
+    @property
+    def weights(self):
+        return self._weights
+
+    @property
+    def neff(self):
+        return self._neff
+
+    def scotts_factor(self):
+        return self._neff ** (-1.0 / (self.d + 4))
+
+    def silverman_factor(self):
+        return (self._neff * (self.d + 2) / 4.0) ** (-1.0 / (self.d + 4))
+
+    def set_bandwidth(self, bw_method):
+        if bw_method == 'scott':
+            factor = self.scotts_factor()
+        elif bw_method == 'silverman':
+            factor = self.silverman_factor()
+        elif np.isscalar(bw_method):
+            factor = float(bw_method)
+        else:
+            raise ValueError('invalid bw_method.')
+        factor *= self._bw_factor
+        mean = self._weights @ self.dataset
+        diff = self.dataset - mean
+        cov = (diff * self._weights[:, None]).T @ diff / (
+            1.0 - np.sum(self._weights ** 2))
+        self.covariance = np.atleast_2d(cov) * factor ** 2
+        self.inv_cov = np.linalg.inv(self.covariance)
+        self._norm_factor = np.sqrt(
+            np.linalg.det(2 * np.pi * self.covariance))
+
+    def _diff(self, x):
+        x = np.asarray(x, np.float64)
+        if self.d == 1 and x.ndim <= 1:
+            x = np.atleast_1d(x)[:, None]
+        elif x.ndim == 1:
+            x = x[None, :]
+        return x[:, None, :] - self.dataset[None, :, :]
+
+    def logpdf(self, x):
+        diff = self._diff(x)
+        energy = np.einsum('lmi,ij,lmj->lm', diff, self.inv_cov / 2, diff)
+        return logsumexp(-energy, b=self._weights / self._norm_factor,
+                         axis=1)
+
+    def pdf(self, x):
+        return np.exp(self.logpdf(x))
+
+    __call__ = pdf
+
+    def cdf(self, x):
+        """1-d cdf (``kde.py:322-354``): weighted sum of normal cdfs."""
+        if self.d != 1:
+            raise NotImplementedError('currently only supports cdf for 1-d '
+                                      'kde')
+        x = np.atleast_1d(np.asarray(x, np.float64))
+        diff = x[:, None] - self.dataset[None, :, 0]
+        diff_scaled = diff / np.sqrt(self.covariance[0, 0])
+        return ndtr(diff_scaled) @ self._weights
