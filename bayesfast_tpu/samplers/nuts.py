@@ -97,6 +97,35 @@ def _leaf_view(state):
                                               state.logp))
 
 
+def _stack_read(stack, m, n_lvl):
+    """Read level ``m`` of the checkpoint stack via a one-hot contraction.
+
+    A plain ``a[m]`` with a traced per-lane index lowers to an XLA gather,
+    which measured ~40x slower than the leapfrog itself on TPU; the one-hot
+    einsum lowers to a tiny batched matvec instead.
+    """
+    oh = (jnp.arange(n_lvl) == m).astype(stack.log_size.dtype)
+
+    def pick(a):
+        if a.ndim == 2:
+            return jnp.einsum('l,ld->d', oh, a)
+        return jnp.dot(oh, a)
+
+    return jax.tree.map(pick, stack)
+
+
+def _stack_write(stack, m, val, n_lvl):
+    """Write ``val`` at level ``m`` via a one-hot select (no scatter)."""
+    sel = (jnp.arange(n_lvl) == m)
+
+    def put(a, v):
+        if a.ndim == 2:
+            return jnp.where(sel[:, None], v[None, :], a)
+        return jnp.where(sel, v, a)
+
+    return jax.tree.map(put, stack, val)
+
+
 def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
                    start_energy, max_change, max_treedepth):
     """Iteratively build a subtree of ``2**depth`` leaves from start_state.
@@ -144,29 +173,33 @@ def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
                          _Proposal(new_state.q, new_state.energy,
                                    new_state.logp))
 
-        # binary-counter merges: merge while bit m of k is 1
-        # (skipped entirely when the new leaf diverged, ``nuts.py:130-132``)
+        # Binary-counter merges: merge while bit m of k is 1 (skipped when
+        # the new leaf diverged, ``nuts.py:130-132``). The stack is READ-ONLY
+        # here, so it is captured by closure rather than threaded through the
+        # while carry — carrying it would force XLA to shuffle the whole
+        # (levels, dim) stack at every inner-loop boundary, which measured
+        # ~35x slower than the leapfrog itself.
+        stack_ro = c['stack']
+
         def mcond(mc):
             return (((c['k'] >> mc['m']) & 1) == 1) & ~mc['turning'] & ~div
 
         def mbody(mc):
             key, sub = jax.random.split(mc['key'])
-            t1 = jax.tree.map(lambda a: a[mc['m']], mc['stack'])
+            t1 = _stack_read(stack_ro, mc['m'], max_lvl)
             merged, turning = _merge(sub, t1, mc['inc'], mc['m'] + 1)
-            return dict(key=key, m=mc['m'] + 1, inc=merged, turning=turning,
-                        stack=mc['stack'])
+            return dict(key=key, m=mc['m'] + 1, inc=merged, turning=turning)
 
         mc = jax.lax.while_loop(
             mcond, mbody,
             dict(key=key, m=jnp.int32(0), inc=leaf,
-                 turning=jnp.zeros((), bool), stack=c['stack']))
+                 turning=jnp.zeros((), bool)))
         key, turning, inc, m = mc['key'], mc['turning'], mc['inc'], mc['m']
 
-        # push the merged tree at level m (masked out if turning/diverging)
-        push = ~div & ~turning
-        stack = jax.tree.map(
-            lambda arr, val: jnp.where(
-                push, arr.at[m].set(val), arr), c['stack'], inc)
+        # Push the merged tree at level m unconditionally: on divergence or
+        # turning the subtree aborts and the stack is never read again (a
+        # fresh stack is built per extension), so no masking is needed.
+        stack = _stack_write(c['stack'], m, inc, max_lvl)
 
         return dict(
             key=key, k=jnp.where(div, c['k'], c['k'] + 1),
