@@ -57,13 +57,23 @@ def _resolve_trace(sample_trace, sampler):
     raise ValueError('unexpected value for sample_trace.')
 
 
-def _init_carry(trace, x_0, dtype):
-    """Build the batched per-chain carry (RNG keys, q, step size, metric)."""
+def _init_carry(trace, x_0, dtype, tempered=False):
+    """Build the batched per-chain carry (RNG keys, q, step size, metric).
+
+    For tempered samplers the position vector is extended to ``[u, q...]``
+    with ``u ~ N(0, 1)`` per chain (``base_hmc.py:242``); the metric and
+    step-size scaling stay q-space.
+    """
     n_chain = trace.n_chain
     dim = x_0.shape[-1]
 
     keys = jnp.stack(spawn_generator(trace.random_generator, n_chain))
     q = jnp.asarray(x_0, dtype)
+    if tempered:
+        u0 = jax.random.normal(
+            jax.random.fold_in(trace.random_generator, 0x7e), (n_chain, 1),
+            dtype)
+        q = jnp.concatenate([u0, q], axis=1)
 
     step0 = trace.step_size if trace.step_size is not None else 1.0
     step0 = step0 / dim ** 0.25  # ``sample_trace.py:365-373``
@@ -147,12 +157,22 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         raise ValueError('failed to get finite logp and/or grad at x_0.')
 
     # ------- driver + carry -------
-    if sampler in ('TNUTS', 'THMC'):
-        from ..samplers.tempered import run_tempered
-        return run_tempered(density, trace, sampler, n_run, verbose, n_update,
-                            mesh)
+    algo = {'NUTS': 'nuts', 'HMC': 'hmc', 'TNUTS': 'tnuts',
+            'THMC': 'thmc'}[sampler]
+    tempered = algo in ('tnuts', 'thmc')
+    base_lpg = None
+    base_density = None
+    if tempered:
+        base_density = trace.density_base
+        if base_density is None:
+            raise ValueError('tempered samplers need trace.density_base.')
+        logxi = trace.logxi
+        _blpg = base_density.device_logp_and_grad(original_space=False)
 
-    algo = 'nuts' if sampler == 'NUTS' else 'hmc'
+        def base_lpg(params, x, _f=_blpg, _xi=logxi):
+            lp, g = _f(params, x)
+            return lp + _xi, g  # ``base_hmc.py:228-231``
+
     driver = ChainDriver(
         density.device_logp_and_grad(original_space=False), algorithm=algo,
         max_treedepth=getattr(trace, 'max_treedepth', 10),
@@ -161,12 +181,12 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         gamma=trace.gamma, k=trace.k, t_0=trace.t_0,
         adapt_step_size=trace.adapt_step_size,
         update_window=trace.update_window, doubling=trace.doubling,
-        adapt_metric=trace.adapt_metric)
+        adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg)
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)
     else:
-        carry = _init_carry(trace, x_0, dtype)
+        carry = _init_carry(trace, x_0, dtype, tempered)
         trace._chain_initialized = True
     carry = shard_chains(carry, trace.n_chain, mesh)
 
@@ -184,9 +204,14 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         it0 = i_iter + done
         warmup_flags = (it0 + np.arange(n_step)) < trace.n_warmup
         t_i = time.time()
+        params = density.current_params()
+        if tempered:
+            params = (params, base_density.current_params())
         carry, (samples, (stats, extras)) = driver.run(
-            carry, warmup_flags, density.current_params())
-        samples = np.asarray(samples)  # (n_step, n_chain, dim)
+            carry, warmup_flags, params)
+        samples = np.asarray(samples)  # (n_step, n_chain, dim[+1])
+        if tempered:
+            samples = samples[..., 1:]  # strip the tempering coordinate
         stats_np = {k: np.asarray(v).T for k, v in
                     {**stats._asdict(), **extras}.items()}
         all_samples.append(np.swapaxes(samples, 0, 1))

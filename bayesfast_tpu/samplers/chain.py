@@ -19,6 +19,7 @@ from .hmc import hmc_transition
 from .metrics import update_metric
 from .nuts import nuts_transition
 from .step_size import current_step_size, update_step_size
+from .tempered import tnuts_transition, thmc_transition
 
 __all__ = ['ChainCarry', 'ChainDriver']
 
@@ -40,8 +41,10 @@ class ChainDriver:
     def __init__(self, logp_and_grad, algorithm='nuts', max_treedepth=10,
                  n_int_step=32, max_change=1000., target_accept=0.8,
                  gamma=0.05, k=0.75, t_0=10., adapt_step_size=True,
-                 update_window=1, doubling=True, adapt_metric=True):
+                 update_window=1, doubling=True, adapt_metric=True,
+                 logp_and_grad_base=None):
         self._logp_and_grad = logp_and_grad
+        self._logp_and_grad_base = logp_and_grad_base
         self._algorithm = algorithm
         self._max_treedepth = int(max_treedepth)
         self._n_int_step = int(n_int_step)
@@ -57,7 +60,15 @@ class ChainDriver:
         self._compiled = None
 
     def _one_chain_step(self, key, q, step_state, metric, warmup, params):
-        lpg = lambda x: self._logp_and_grad(params, x)
+        tempered = self._algorithm in ('tnuts', 'thmc')
+        if tempered:
+            # q holds [u, q...] (the extended tempering coordinate first)
+            params_t, params_b = params
+            lpg = lambda x: self._logp_and_grad(params_t, x)
+            lpg_b = lambda x: self._logp_and_grad_base(params_b, x)
+            u, qq = q[0], q[1:]
+        else:
+            lpg = lambda x: self._logp_and_grad(params, x)
         eps = current_step_size(step_state, warmup)
         key, k_t = jax.random.split(key)
         if self._algorithm == 'nuts':
@@ -70,13 +81,26 @@ class ChainDriver:
                 k_t, q, metric, eps, lpg,
                 self._n_int_step, self._max_change)
             accept_stat = stats.accept_stat
+        elif self._algorithm == 'tnuts':
+            q_new, u_new, stats = tnuts_transition(
+                k_t, qq, u, metric, eps, lpg, lpg_b,
+                self._max_treedepth, self._max_change)
+            accept_stat = stats.mean_tree_accept
+            q_new = jnp.concatenate([u_new[None], q_new])
+        elif self._algorithm == 'thmc':
+            q_new, u_new, stats = thmc_transition(
+                k_t, qq, u, metric, eps, lpg, lpg_b,
+                self._n_int_step, self._max_change)
+            accept_stat = stats.accept_stat
+            q_new = jnp.concatenate([u_new[None], q_new])
         else:
             raise ValueError(f'unknown algorithm {self._algorithm}.')
         step_state = update_step_size(
             step_state, accept_stat, warmup, self._target_accept, self._gamma,
             self._k, self._t_0, self._adapt_step_size)
         if self._adapt_metric:
-            metric = update_metric(metric, q_new, warmup,
+            q_for_metric = q_new[1:] if tempered else q_new
+            metric = update_metric(metric, q_for_metric, warmup,
                                    self._update_window, self._doubling)
         # step sizes recorded *after* the update, as in ``base_hmc.py:80-84``
         extras = {'step_size': jnp.exp(step_state.log_step),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .integration import IntegratorState, compute_state, leapfrog
 
-__all__ = ['NutsStats', 'nuts_transition']
+__all__ = ['NutsStats', 'nuts_transition', 'nuts_core']
 
 
 class NutsStats(NamedTuple):
@@ -91,10 +91,9 @@ def _merge(key, t1, t2, merged_depth):
     return merged, turning
 
 
-def _leaf_view(state):
+def _leaf_view(state, prop_of):
     return _TreeView(state.p, state.v, state.p, state.v, state.p,
-                     jnp.zeros(()), _Proposal(state.q, state.energy,
-                                              state.logp))
+                     jnp.zeros((), state.q.dtype), prop_of(state))
 
 
 def _stack_read(stack, m, n_lvl):
@@ -126,7 +125,7 @@ def _stack_write(stack, m, val, n_lvl):
     return jax.tree.map(put, stack, val)
 
 
-def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
+def _build_subtree(key, step_fn, prop_of, start_state, depth, eps,
                    start_energy, max_change, max_treedepth):
     """Iteratively build a subtree of ``2**depth`` leaves from start_state.
 
@@ -134,31 +133,22 @@ def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
     diverging, turning). ``end_state`` is the last successfully integrated
     state (the subtree's right end in integration order).
     """
-    dim = start_state.q.shape[0]
     dtype = start_state.q.dtype
-    zerov = jnp.zeros((dim,), dtype)
     max_lvl = max(max_treedepth, 1)
 
-    stack = _TreeView(
-        left_p=jnp.zeros((max_lvl, dim), dtype),
-        left_v=jnp.zeros((max_lvl, dim), dtype),
-        right_p=jnp.zeros((max_lvl, dim), dtype),
-        right_v=jnp.zeros((max_lvl, dim), dtype),
-        p_sum=jnp.zeros((max_lvl, dim), dtype),
-        log_size=jnp.zeros((max_lvl,), dtype),
-        prop=_Proposal(jnp.zeros((max_lvl, dim), dtype),
-                       jnp.zeros((max_lvl,), dtype),
-                       jnp.zeros((max_lvl,), dtype)))
+    dummy = _leaf_view(start_state, prop_of)
+    stack = jax.tree.map(
+        lambda a: jnp.zeros((max_lvl,) + jnp.shape(a), jnp.asarray(a).dtype),
+        dummy)
 
     n_leaf = jnp.left_shift(jnp.int32(1), depth)
-    dummy = _leaf_view(start_state)
 
     def cond(c):
         return (c['k'] < n_leaf) & ~c['diverging'] & ~c['turning']
 
     def body(c):
         key = c['key']
-        new_state = leapfrog(metric, logp_and_grad, eps, c['cur'])
+        new_state = step_fn(eps, c['cur'])
         d_energy = new_state.energy - start_energy
         d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
         max_de = jnp.where(jnp.abs(d_energy) > jnp.abs(c['max_de']),
@@ -169,9 +159,7 @@ def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
         n_prop = c['n_prop'] + 1
 
         leaf = _TreeView(new_state.p, new_state.v, new_state.p, new_state.v,
-                         new_state.p, -d_energy,
-                         _Proposal(new_state.q, new_state.energy,
-                                   new_state.logp))
+                         new_state.p, -d_energy, prop_of(new_state))
 
         # Binary-counter merges: merge while bit m of k is 1 (skipped when
         # the new leaf diverged, ``nuts.py:130-132``). The stack is READ-ONLY
@@ -218,21 +206,16 @@ def _build_subtree(key, metric, logp_and_grad, start_state, depth, eps,
             out['n_prop'], out['max_de'], out['diverging'], out['turning'])
 
 
-def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
-                    max_change):
-    """One full NUTS iteration for a single chain (``nuts.py:205-217``).
+def nuts_core(key, start, step_fn, prop_of, step_size, max_treedepth,
+              max_change):
+    """Generic iterative tree-doubling core over any integrator state with
+    ``.q/.p/.v/.energy/.logp`` fields (shared by NUTS and tempered TNUTS).
 
-    Draws the momentum, computes the start state, runs up to
-    ``max_treedepth`` tree doublings, and returns ``(q_new, stats)``.
-    Vmapped over chains by the driver; the key/metric/step-size are per chain.
+    Returns the final loop state dict (proposal, depth, tree size, acceptance
+    statistics, divergence flag).
     """
-    from .metrics import sample_momentum
-
-    key, k_mom = jax.random.split(key)
-    p0 = sample_momentum(metric, k_mom)
-    start = compute_state(metric, logp_and_grad, q0, p0)
     start_energy = start.energy
-    dtype = q0.dtype
+    dtype = start.q.dtype
 
     def cond(c):
         return (c['depth'] < max_treedepth) & ~c['done']
@@ -245,7 +228,7 @@ def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
             lambda a, b: jnp.where(go_right, b, a), c['left'], c['right'])
 
         (key, sub, end_state, acc, npp, mde, div, turn) = _build_subtree(
-            key, metric, logp_and_grad, start_side, c['depth'], eps,
+            key, step_fn, prop_of, start_side, c['depth'], eps,
             start_energy, max_change, max_treedepth)
 
         accept_sum = c['accept_sum'] + acc
@@ -305,11 +288,32 @@ def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
     init = dict(
         key=key, left=start, right=start, p_sum=start.p,
         log_size=jnp.zeros((), dtype),
-        prop=_Proposal(start.q, start.energy, start.logp),
+        prop=prop_of(start),
         depth=jnp.int32(0), accept_sum=jnp.zeros((), dtype),
         n_prop=jnp.int32(0), max_de=jnp.zeros((), dtype),
         diverging=jnp.zeros((), bool), done=jnp.zeros((), bool))
-    out = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
+                    max_change):
+    """One full NUTS iteration for a single chain (``nuts.py:205-217``).
+
+    Draws the momentum, computes the start state, runs up to
+    ``max_treedepth`` tree doublings, and returns ``(q_new, stats)``.
+    Vmapped over chains by the driver; the key/metric/step-size are per chain.
+    """
+    from .metrics import sample_momentum
+
+    key, k_mom = jax.random.split(key)
+    p0 = sample_momentum(metric, k_mom)
+    start = compute_state(metric, logp_and_grad, q0, p0)
+    dtype = q0.dtype
+
+    step_fn = lambda eps, s: leapfrog(metric, logp_and_grad, eps, s)
+    prop_of = lambda s: _Proposal(s.q, s.energy, s.logp)
+    out = nuts_core(key, start, step_fn, prop_of, step_size, max_treedepth,
+                    max_change)
 
     prop = out['prop']
     n_prop_f = jnp.maximum(out['n_prop'], 1).astype(dtype)
@@ -317,6 +321,6 @@ def nuts_transition(key, q0, metric, step_size, logp_and_grad, max_treedepth,
         logp=prop.logp, energy=prop.energy,
         tree_depth=out['depth'], tree_size=out['n_prop'],
         mean_tree_accept=out['accept_sum'] / n_prop_f,
-        energy_change=prop.energy - start_energy,
+        energy_change=prop.energy - start.energy,
         max_energy_change=out['max_de'], diverging=out['diverging'])
     return prop.q, stats

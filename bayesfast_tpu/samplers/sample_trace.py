@@ -31,6 +31,10 @@ hstats_items = ('logp', 'energy', 'n_int_step', 'accept_stat', 'accepted',
                 'step_size', 'step_size_bar', 'warmup', 'energy_change',
                 'diverging')
 
+tnstats_items = ('u', 'weight') + nstats_items
+
+thstats_items = ('u', 'weight') + hstats_items
+
 
 class StatsView:
     """Per-iteration statistics container (``hmc_utils/stats.py:39-118``).
@@ -382,8 +386,37 @@ class NTrace(_HTrace):
         return int(np.sum(ts[:, 1:]) + self.n_chain * (self.i_iter + 1))
 
 
-class TNTrace(NTrace):
+class _TTraceMixin:
+    """Shared tempered-trace accessors (``sample_trace.py:540-587``)."""
+
+    @property
+    def u(self):
+        return self._stats_arrays['u']
+
+    @property
+    def weights(self):
+        return self._stats_arrays['weight']
+
+    def get(self, since_iter=None, include_warmup=False, original_space=True,
+            return_type='samples', flatten=True):
+        if return_type in ('u', 'weights'):
+            if since_iter is None:
+                since_iter = 0 if include_warmup else self.n_warmup
+            arr = (self.u if return_type == 'u' else
+                   self.weights)[:, int(since_iter):]
+            return arr.reshape(-1) if flatten else arr
+        if return_type == 'all':
+            return [self.get(since_iter, include_warmup, original_space, _,
+                             flatten)
+                    for _ in ('samples', 'u', 'weights', 'logp')]
+        return super().get(since_iter, include_warmup, original_space,
+                           return_type, flatten)
+
+
+class TNTrace(_TTraceMixin, NTrace):
     """Trace for tempered NUTS (``sample_trace.py:607-622``)."""
+
+    _stats_items = tnstats_items
 
     def __init__(self, density_base=None, logxi=0., **kwargs):
         super().__init__(**kwargs)
@@ -391,8 +424,10 @@ class TNTrace(NTrace):
         self.logxi = float(logxi)
 
 
-class THTrace(HTrace):
+class THTrace(_TTraceMixin, HTrace):
     """Trace for tempered HMC (``sample_trace.py:590-604``)."""
+
+    _stats_items = thstats_items
 
     def __init__(self, density_base=None, logxi=0., **kwargs):
         super().__init__(**kwargs)
