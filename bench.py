@@ -22,7 +22,7 @@ def main():
     import jax.numpy as jnp
     import bayesfast_tpu as bf
 
-    n_chain = int(os.environ.get('BENCH_N_CHAIN', 128))
+    n_chain = int(os.environ.get('BENCH_N_CHAIN', 1024))
     n_iter = int(os.environ.get('BENCH_N_ITER', 500))
 
     D, Q = 32, 0.01
