@@ -100,11 +100,18 @@ class kde:
     __call__ = pdf
 
     def cdf(self, x):
-        """1-d cdf (``kde.py:322-354``): weighted sum of normal cdfs."""
+        """1-d cdf (``kde.py:322-354``): weighted sum of normal cdfs.
+
+        Uses the OpenMP native kernel when available (this O(n_data * n_x)
+        sum is the inner loop of every SIT Gaussianization fit).
+        """
         if self.d != 1:
             raise NotImplementedError('currently only supports cdf for 1-d '
                                       'kde')
         x = np.atleast_1d(np.asarray(x, np.float64))
-        diff = x[:, None] - self.dataset[None, :, 0]
-        diff_scaled = diff / np.sqrt(self.covariance[0, 0])
+        h = np.sqrt(self.covariance[0, 0])
+        from ..native import bindings as _native
+        if _native.available():
+            return _native.kde_cdf(self.dataset[:, 0], self._weights, h, x)
+        diff_scaled = (x[:, None] - self.dataset[None, :, 0]) / h
         return ndtr(diff_scaled) @ self._weights
