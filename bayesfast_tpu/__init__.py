@@ -15,6 +15,7 @@ from . import ops
 from . import core
 from . import samplers
 from . import parallel
+from .core import recipe  # ``bf.recipe.OptimizeStep`` etc., as in the reference
 from .core import *        # noqa: F401,F403
 from .samplers import *    # noqa: F401,F403
 

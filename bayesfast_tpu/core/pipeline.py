@@ -401,7 +401,10 @@ class Density(Pipeline, _DensityBase):
 
     def current_params(self):
         params = super().current_params()
-        dim = self._mu.shape[0] if self._mu is not None else 1
+        if self._mu is not None:
+            dim = self._mu.shape[0]
+        else:
+            dim = self.input_size if self.input_size is not None else 1
         dtype = get_dtype()
         params['decay'] = (
             jnp.zeros(dim, dtype) if self._mu is None

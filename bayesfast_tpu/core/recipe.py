@@ -937,3 +937,19 @@ class Recipe:
         if self.recipe_trace._r_post is None:
             raise RuntimeError('you have not run a PostStep.')
         return self.recipe_trace._r_post
+
+    def save(self, path):
+        """Checkpoint the Recipe (all phase results + sampler carries).
+
+        Requires the density's callables to be picklable (module-level
+        functions, not lambdas) — the same constraint the reference has for
+        shipping densities to worker processes. ``run()`` on the loaded
+        Recipe resumes at the next unfinished phase.
+        """
+        from ..utils.checkpoint import save as _save
+        _save(self, path)
+
+    @staticmethod
+    def load(path):
+        from ..utils.checkpoint import load as _load
+        return _load(path)

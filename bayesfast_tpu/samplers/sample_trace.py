@@ -146,6 +146,18 @@ class SampleTrace:
     def add_warmup(self, n):
         self.n_warmup = self.n_warmup + n
 
+    def save(self, path):
+        """Checkpoint this trace (config + samples + sampler carry)."""
+        from ..utils.checkpoint import save as _save
+        _save(self, path)
+
+    @staticmethod
+    def load(path):
+        """Load a trace saved with ``save``; sampling can continue from
+        exactly where it stopped (the RNG/adaptation carry is included)."""
+        from ..utils.checkpoint import load as _load
+        return _load(path)
+
     @property
     def x_0(self):
         return self._x_0
@@ -618,6 +630,15 @@ class TraceTuple:
 
     def __iter__(self):
         return iter(self.sample_traces)
+
+    def save(self, path):
+        from ..utils.checkpoint import save as _save
+        _save(self, path)
+
+    @staticmethod
+    def load(path):
+        from ..utils.checkpoint import load as _load
+        return _load(path)
 
 
 def _get_step_size(sample_trace):
