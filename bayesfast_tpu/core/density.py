@@ -150,10 +150,14 @@ class DensityLite(_PipelineBase, _DensityBase):
 
     def __init__(self, logp=None, grad=None, logp_and_grad=None,
                  input_size=None, input_scales=None, hard_bounds=False,
-                 vectorized=False, original_space=True):
+                 vectorized=False, original_space=True, traceable=True,
+                 logp_args=(), logp_kwargs=None):
         self._logp = logp
         self._grad = grad
         self._logp_and_grad = logp_and_grad
+        self._traceable = bool(traceable)
+        self._logp_args = tuple(logp_args)
+        self._logp_kwargs = dict(logp_kwargs or {})
         self.input_size = input_size
         self.input_scales = input_scales
         self.hard_bounds = hard_bounds
@@ -165,8 +169,23 @@ class DensityLite(_PipelineBase, _DensityBase):
 
     def _logp_1(self, x_o):
         """Single-point logp in original space (traced)."""
+        if not self._traceable:
+            # external (non-traceable) likelihood: host callback; not
+            # differentiable — pair with surrogate sampling for gradients
+            import numpy as _np
+
+            def host_fn(xv):
+                return _np.asarray(
+                    self._logp(_np.asarray(xv), *self._logp_args,
+                               **self._logp_kwargs),
+                    dtype=get_dtype()).reshape(())
+
+            return jax.pure_callback(
+                host_fn, jax.ShapeDtypeStruct((), get_dtype()), x_o,
+                vmap_method='sequential')
         if self._logp is not None:
-            return jnp.reshape(jnp.asarray(self._logp(x_o)), ())
+            return jnp.reshape(jnp.asarray(
+                self._logp(x_o, *self._logp_args, **self._logp_kwargs)), ())
         if self._logp_and_grad is not None:
             return jnp.reshape(jnp.asarray(self._logp_and_grad(x_o)[0]), ())
         raise RuntimeError('No valid definition of logp is found.')
@@ -229,7 +248,8 @@ class DensityLite(_PipelineBase, _DensityBase):
         key = (kind, original_space)
         if key not in self._jit_cache:
             if kind == 'logp':
-                f = lambda x: self._logp_and_grad_1(x, original_space)[0]
+                # value-only path (works for non-differentiable callbacks)
+                f = (self._logp_1 if original_space else self._logp_trans_1)
             elif kind == 'grad':
                 f = lambda x: self._logp_and_grad_1(x, original_space)[1]
             else:

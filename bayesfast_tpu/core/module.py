@@ -41,7 +41,8 @@ class ModuleBase:
                  delete_vars=(), input_shapes=None, output_shapes=None,
                  input_scales=None, label=None, fun_args=(), fun_kwargs=None,
                  jac_args=(), jac_kwargs=None, fun_and_jac_args=(),
-                 fun_and_jac_kwargs=None, concat_input=None):
+                 fun_and_jac_kwargs=None, concat_input=None, traceable=True):
+        self._traceable = bool(traceable)
         self.input_vars = input_vars
         self.output_vars = output_vars
         self.delete_vars = delete_vars
@@ -104,12 +105,46 @@ class ModuleBase:
             return [cargs[cum[i]:cum[i + 1]] for i in range(shapes.size)]
         return [cargs]
 
+    @property
+    def traceable(self):
+        return getattr(self, '_traceable', True)
+
     def _call_traced(self, args, params=None):
         """Traced single-point evaluation: list-of-inputs -> list-of-outputs."""
         args = self._prepare_inputs(args)
         ctx = self._with_params(params)
-        out = self._fun_traced(ctx, *args)
+        if not self.traceable:
+            out = self._call_external(args)
+        else:
+            out = self._fun_traced(ctx, *args)
         return self._prepare_outputs(out)
+
+    def _call_external(self, args):
+        """Host callback for non-traceable (external) callables.
+
+        The cosmosis-style escape hatch (SURVEY §7 'hard parts'): the true
+        model runs on host via ``jax.pure_callback`` while surrogate sampling
+        stays on device. Requires ``output_shapes``; the result is not
+        differentiable — which the surrogate workflow never needs (fits use
+        values only, sampling differentiates the surrogate).
+        """
+        if self._output_shapes is None:
+            raise ValueError('non-traceable modules need output_shapes to '
+                             'declare their output size.')
+        total = int(np.sum(self._output_shapes))
+        dtype = get_dtype()
+
+        def host_fn(*np_args):
+            out = self._fun(*[np.asarray(a) for a in np_args],
+                            *self._fun_args, **self._fun_kwargs)
+            if not isinstance(out, (list, tuple)):
+                out = [out]
+            return np.concatenate(
+                [np.atleast_1d(np.asarray(o)) for o in out]).astype(dtype)
+
+        return jax.pure_callback(
+            host_fn, jax.ShapeDtypeStruct((total,), dtype), *args,
+            vmap_method='sequential')
 
     def _fun_traced(self, ctx, *args):
         """Default: delegate to ``self._fun`` ignoring the params context."""
