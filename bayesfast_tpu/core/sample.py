@@ -95,7 +95,11 @@ def _init_carry(trace, x_0, dtype, tempered=False):
         return init_full_metric(mean, jnp.asarray(metric_arr, dtype),
                                 trace.initial_weight, trace.adapt_window)
 
-    ms = jax.vmap(init_one)(jnp.asarray(init_mean, dtype))
+    if getattr(trace, 'pooled_metric', False):
+        # one shared metric fed by all chains
+        ms = init_one(jnp.asarray(np.mean(init_mean, axis=0), dtype))
+    else:
+        ms = jax.vmap(init_one)(jnp.asarray(init_mean, dtype))
     return ChainCarry(keys, q, ss, ms)
 
 
@@ -181,7 +185,8 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         gamma=trace.gamma, k=trace.k, t_0=trace.t_0,
         adapt_step_size=trace.adapt_step_size,
         update_window=trace.update_window, doubling=trace.doubling,
-        adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg)
+        adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg,
+        pooled_metric=getattr(trace, 'pooled_metric', False))
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .hmc import hmc_transition
-from .metrics import update_metric
+from .metrics import update_metric, update_metric_pooled
 from .nuts import nuts_transition
 from .step_size import current_step_size, update_step_size
 from .tempered import tnuts_transition, thmc_transition
@@ -42,7 +42,7 @@ class ChainDriver:
                  n_int_step=32, max_change=1000., target_accept=0.8,
                  gamma=0.05, k=0.75, t_0=10., adapt_step_size=True,
                  update_window=1, doubling=True, adapt_metric=True,
-                 logp_and_grad_base=None):
+                 logp_and_grad_base=None, pooled_metric=False):
         self._logp_and_grad = logp_and_grad
         self._logp_and_grad_base = logp_and_grad_base
         self._algorithm = algorithm
@@ -57,6 +57,7 @@ class ChainDriver:
         self._update_window = int(update_window)
         self._doubling = bool(doubling)
         self._adapt_metric = bool(adapt_metric)
+        self._pooled_metric = bool(pooled_metric)
         self._compiled = None
 
     def _one_chain_step(self, key, q, step_state, metric, warmup, params):
@@ -98,24 +99,37 @@ class ChainDriver:
         step_state = update_step_size(
             step_state, accept_stat, warmup, self._target_accept, self._gamma,
             self._k, self._t_0, self._adapt_step_size)
-        if self._adapt_metric:
-            q_for_metric = q_new[1:] if tempered else q_new
-            metric = update_metric(metric, q_for_metric, warmup,
-                                   self._update_window, self._doubling)
-        # step sizes recorded *after* the update, as in ``base_hmc.py:80-84``
+        # step sizes recorded *after* the update, as in ``base_hmc.py:80-84``;
+        # the metric update happens at the batch level in scan_fn (shared or
+        # per chain depending on pooled_metric)
         extras = {'step_size': jnp.exp(step_state.log_step),
                   'step_size_bar': jnp.exp(step_state.log_bar),
                   'warmup': warmup}
-        return key, q_new, step_state, metric, (stats, extras)
+        return key, q_new, step_state, (stats, extras)
 
     def _build(self):
+        metric_axis = None if self._pooled_metric else 0
         batched = jax.vmap(self._one_chain_step,
-                           in_axes=(0, 0, 0, 0, None, None))
+                           in_axes=(0, 0, 0, metric_axis, None, None))
+        tempered = self._algorithm in ('tnuts', 'thmc')
 
         def scan_fn(carry, warmup_flags, params):
             def step(c, w):
-                key, q, ss, ms, out = batched(c.key, c.q, c.step, c.metric, w,
-                                              params)
+                key, q, ss, out = batched(c.key, c.q, c.step, c.metric, w,
+                                          params)
+                qm = q[:, 1:] if tempered else q
+                if not self._adapt_metric:
+                    ms = c.metric
+                elif self._pooled_metric:
+                    # shared mass matrix fed by all chains (cross-chain
+                    # pooled adaptation; a TPU-native extension)
+                    ms = update_metric_pooled(c.metric, qm, w,
+                                              self._update_window,
+                                              self._doubling)
+                else:
+                    ms = jax.vmap(update_metric,
+                                  in_axes=(0, 0, None, None, None))(
+                        c.metric, qm, w, self._update_window, self._doubling)
                 return ChainCarry(key, q, ss, ms), (q, out)
             return jax.lax.scan(step, carry, warmup_flags)
 

@@ -161,3 +161,69 @@ def update_metric(metric, sample, warmup, update_window=1, doubling=True):
                               adapt_window)
     # mask the whole update out when not in warmup
     return jax.tree.map(lambda n, o: jnp.where(warmup, n, o), new, metric)
+
+
+def _welford_add_batch(w, xb, full):
+    """Exact parallel Welford merge of a whole batch of samples (Chan et
+    al.) — the cross-chain pooled-adaptation primitive. Merging a batch is
+    algebraically identical to adding its samples one by one."""
+    cb = jnp.asarray(xb.shape[0], xb.dtype)
+    mean_b = jnp.mean(xb, axis=0)
+    xc = xb - mean_b
+    raw_b = xc.T @ xc if full else jnp.sum(xc * xc, axis=0)
+    n_new = w.weight + cb
+    delta = mean_b - w.mean
+    mean_new = w.mean + delta * cb / n_new
+    corr = w.weight * cb / n_new
+    if full:
+        raw_new = w.raw + raw_b + corr * jnp.outer(delta, delta)
+    else:
+        raw_new = w.raw + raw_b + corr * delta * delta
+    return _Welford(mean_new, raw_new, n_new)
+
+
+def update_metric_pooled(metric, samples, warmup, update_window=1,
+                         doubling=True):
+    """One pooled adaptation step from ALL chains' new positions.
+
+    TPU-native extension of the reference's per-chain Welford adaptation:
+    with C chains the shared mass matrix sees C samples per iteration, so
+    the metric converges ~C times faster in wall-clock iterations. Window
+    bookkeeping stays iteration-counted so the reference's
+    foreground/background switching schedule (``metrics.py:186-211``) is
+    preserved.
+    """
+    full = isinstance(metric, FullMetricState)
+    dim = samples.shape[-1]
+    dtype = samples.dtype
+
+    delta = metric.n_samples - metric.prev_update
+    fg = _welford_add_batch(metric.fg, samples, full)
+    bg = _welford_add_batch(metric.bg, samples, full)
+
+    do_refresh = ((delta + 1) % update_window) == 0
+    if full:
+        cov_new = fg.raw / fg.weight
+        chol_new = jnp.linalg.cholesky(cov_new)
+        chol_ok = jnp.all(jnp.isfinite(chol_new))
+        cov = jnp.where(do_refresh, cov_new, metric.cov)
+        chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
+    else:
+        var = jnp.where(do_refresh, fg.raw / fg.weight, metric.var)
+
+    do_switch = delta >= metric.adapt_window
+    zero = _zero_welford(dim, dtype, full)
+    fg2 = jax.tree.map(lambda a, b: jnp.where(do_switch, b, a), fg, bg)
+    bg2 = jax.tree.map(lambda a, b: jnp.where(do_switch, b, a), bg, zero)
+    prev_update = jnp.where(do_switch, metric.n_samples, metric.prev_update)
+    grown = metric.adapt_window * 2 if doubling else metric.adapt_window
+    adapt_window = jnp.where(do_switch, grown, metric.adapt_window)
+    n_samples = metric.n_samples + 1  # iteration-counted windows
+
+    if full:
+        new = FullMetricState(cov, chol, fg2, bg2, n_samples, prev_update,
+                              adapt_window)
+    else:
+        new = DiagMetricState(var, fg2, bg2, n_samples, prev_update,
+                              adapt_window)
+    return jax.tree.map(lambda n, o: jnp.where(warmup, n, o), new, metric)

@@ -206,8 +206,9 @@ class _HTrace(SampleTrace):
                  metric='diag', adapt_metric=True, max_change=1000.,
                  target_accept=0.8, gamma=0.05, k=0.75, t_0=10.,
                  initial_mean=None, initial_weight=10., adapt_window=60,
-                 update_window=1, doubling=True):
+                 update_window=1, doubling=True, pooled_metric=False):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator)
+        self.pooled_metric = bool(pooled_metric)
         self.max_change = max_change
         self.step_size = step_size
         self.adapt_step_size = bool(adapt_step_size)
@@ -357,12 +358,13 @@ class HTrace(_HTrace):
                  adapt_step_size=True, metric='diag', adapt_metric=True,
                  max_change=1000., target_accept=0.8, gamma=0.05, k=0.75,
                  t_0=10., initial_mean=None, initial_weight=10.,
-                 adapt_window=60, update_window=1, doubling=True):
+                 adapt_window=60, update_window=1, doubling=True,
+                 pooled_metric=False):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
                          step_size, adapt_step_size, metric, adapt_metric,
                          max_change, target_accept, gamma, k, t_0,
                          initial_mean, initial_weight, adapt_window,
-                         update_window, doubling)
+                         update_window, doubling, pooled_metric)
         self.n_int_step = int(n_int_step)
 
     @property
@@ -382,12 +384,13 @@ class NTrace(_HTrace):
                  metric='diag', adapt_metric=True, max_change=1000.,
                  max_treedepth=10, target_accept=0.8, gamma=0.05, k=0.75,
                  t_0=10., initial_mean=None, initial_weight=10.,
-                 adapt_window=60, update_window=1, doubling=True):
+                 adapt_window=60, update_window=1, doubling=True,
+                 pooled_metric=False):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
                          step_size, adapt_step_size, metric, adapt_metric,
                          max_change, target_accept, gamma, k, t_0,
                          initial_mean, initial_weight, adapt_window,
-                         update_window, doubling)
+                         update_window, doubling, pooled_metric)
         self.max_treedepth = int(max_treedepth)
 
     @property
