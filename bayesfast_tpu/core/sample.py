@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..config import get_dtype
 from ..samplers.chain import ChainCarry, ChainDriver
 from ..samplers.metrics import init_diag_metric, init_full_metric
-from ..samplers.sample_trace import (SampleTrace, NTrace, HTrace, TNTrace,
-                                     THTrace, ETrace, TraceTuple)
+from ..samplers.sample_trace import (NTrace, HTrace, TNTrace, THTrace,
+                                     ETrace, TraceTuple)
 from ..samplers.step_size import init_step_size, check_acceptance
 from ..utils.sobol import multivariate_normal
 from ..utils.random import spawn_generator
@@ -254,7 +254,6 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
 
     if not np.all(stats_arrays['warmup'][:, -1:]):
         # post-warmup acceptance check per chain (``step_size.py:53-68``)
-        from ..samplers.step_size import StepSizeState
         ss = trace._carry.step
         for i in range(trace.n_chain):
             si = jax.tree.map(lambda a: a[i], ss)

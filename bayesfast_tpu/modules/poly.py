@@ -24,7 +24,6 @@ lockstep.
 """
 
 from collections import namedtuple
-import warnings
 
 import numpy as np
 import jax

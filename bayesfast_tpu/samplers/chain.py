@@ -9,7 +9,6 @@ lives in the scan carry; samples and per-iteration statistics come out as
 stacked arrays.
 """
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

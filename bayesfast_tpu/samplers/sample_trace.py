@@ -10,13 +10,11 @@ sees the same interface.
 """
 
 from collections import OrderedDict
-import warnings
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from ..utils.random import get_generator, next_key
+from ..utils.random import get_generator
 
 __all__ = ['SampleTrace', 'NTrace', 'HTrace', 'TNTrace', 'THTrace', 'ETrace',
            'TraceTuple', 'ChainTrace', 'StatsView', '_get_step_size',

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .metrics import velocity, kinetic_energy, sample_momentum
-from .nuts import nuts_core, _Proposal  # noqa: F401
-from .hmc import HmcStats
+from .nuts import nuts_core
 
 __all__ = ['TState', 'TnutsStats', 'ThmcStats', 'tnuts_transition',
            'thmc_transition']
@@ -190,7 +189,6 @@ def thmc_transition(key, q0, u0, metric, step_size, lpg_target, lpg_base,
     accepted = ~diverging & (jax.random.uniform(k_acc) < accept_stat)
     q_new = jnp.where(accepted, state.q, start.q)
     u_new = jnp.where(accepted, state.u, start.u)
-    end = jax.tree.map(lambda a, b: jnp.where(accepted, a, b), state, start)
 
     stats = ThmcStats(
         u=state.u, weight=state.weight, logp=state.logp, energy=state.energy,

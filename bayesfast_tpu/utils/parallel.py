@@ -11,7 +11,6 @@ pool) for user code that calls it directly with Python functions.
 """
 
 from concurrent.futures import ThreadPoolExecutor
-import warnings
 
 __all__ = ['ParallelBackend', 'get_backend', 'set_backend']
 
