@@ -142,6 +142,12 @@ class ModuleBase:
             return np.concatenate(
                 [np.atleast_1d(np.asarray(o)) for o in out]).astype(dtype)
 
+        if not any(isinstance(a, jax.core.Tracer)
+                   for a in jax.tree.leaves(args)):
+            # eager: call the external model directly (no callback — some
+            # backends, e.g. tunneled TPUs, lack host send/recv support)
+            return jnp.asarray(host_fn(*args))
+
         return jax.pure_callback(
             host_fn, jax.ShapeDtypeStruct((total,), dtype), *args,
             vmap_method='sequential')

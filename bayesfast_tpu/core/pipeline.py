@@ -252,6 +252,11 @@ class Pipeline(_PipelineBase):
 
     # ------------- host-facing API -------------
 
+    def _has_external(self, use_surrogate):
+        """True if the active plan contains non-traceable (host) modules."""
+        return any(not self._module_by_ref(kind, idx).traceable
+                   for kind, idx in self._plan(use_surrogate))
+
     def _vmapped_eval(self, x, original_space, use_surrogate):
         params = self.current_params()
         x = jnp.asarray(x, get_dtype())
@@ -260,7 +265,14 @@ class Pipeline(_PipelineBase):
         if x.ndim == 1:
             return single(x), False
         flat = x.reshape((-1, x.shape[-1]))
-        out = jax.vmap(single)(flat)
+        if self._has_external(use_surrogate):
+            # eager host loop: external modules run directly on host (no
+            # pure_callback under vmap — tunneled TPU backends lack host
+            # send/recv, and the reference farms these over a pool anyway)
+            outs = [single(flat[i]) for i in range(flat.shape[0])]
+            out = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+        else:
+            out = jax.vmap(single)(flat)
         return out, x.shape[:-1]
 
     def fun(self, x, original_space=None, use_surrogate=None):
@@ -460,6 +472,11 @@ class Density(Pipeline, _DensityBase):
         f = lambda xi: self._logp_traced(xi, params, original_space, us)
         if x.ndim == 1:
             lp = np.asarray(f(x))
+        elif self._has_external(us):
+            flat = x.reshape((-1, x.shape[-1]))
+            lp = np.asarray([np.asarray(f(flat[i]))
+                             for i in range(flat.shape[0])]).reshape(
+                x.shape[:-1])
         else:
             flat = x.reshape((-1, x.shape[-1]))
             lp = np.asarray(jax.vmap(f)(flat)).reshape(x.shape[:-1])
