@@ -42,14 +42,12 @@ def _resolve_trace(sample_trace, sampler):
     if isinstance(sample_trace, HTrace):
         return sample_trace, 'HMC'
     if isinstance(sample_trace, ETrace):
-        raise NotImplementedError
+        return sample_trace, 'Ensemble'
     if sample_trace is None or isinstance(sample_trace, dict):
         sample_trace = {} if sample_trace is None else sample_trace
         cls = {'NUTS': NTrace, 'HMC': HTrace, 'TNUTS': TNTrace,
-               'THMC': THTrace}.get(sampler)
+               'THMC': THTrace, 'Ensemble': ETrace}.get(sampler)
         if cls is None:
-            if sampler == 'Ensemble':
-                raise NotImplementedError
             raise ValueError('unexpected value for sampler.')
         return cls(**sample_trace), sampler
     if isinstance(sample_trace, TraceTuple):
@@ -101,6 +99,63 @@ def _init_carry(trace, x_0, dtype, tempered=False):
     else:
         ms = jax.vmap(init_one)(jnp.asarray(init_mean, dtype))
     return ChainCarry(keys, q, ss, ms)
+
+
+def _run_ensemble(density, trace, x_0, n_run, i_iter, verbose, n_update,
+                  mesh, dtype):
+    """Stretch-move ensemble sampling path (no gradients needed)."""
+    from ..samplers.ensemble import run_ensemble
+    from ..utils.random import next_key
+
+    if trace.n_chain % 2:
+        raise ValueError('the ensemble sampler needs an even n_chain.')
+
+    logp_scalar = density.device_logp(original_space=False)
+    runner = jax.jit(lambda key, x, wf: run_ensemble(
+        key, x, logp_scalar, len(wf), wf, trace.a),
+        static_argnames=())
+
+    if trace._carry is not None:
+        key, x = trace._carry[0], jnp.asarray(trace._carry[1])
+    else:
+        key = jax.random.fold_in(trace.random_generator, 0xe5)
+        x = jnp.asarray(x_0, dtype)
+        trace._chain_initialized = True
+    x = shard_chains(x, trace.n_chain, mesh)
+
+    if n_update is None:
+        n_update = max(n_run // 5, 1)
+    all_samples, all_stats = [], []
+    t_start = time.time()
+    done = 0
+    while done < n_run:
+        n_step = min(int(n_update), n_run - done)
+        warmup_flags = jnp.asarray(
+            (i_iter + done + np.arange(n_step)) < trace.n_warmup)
+        key, sub = jax.random.split(key)
+        x, lp, samples, stats = runner(sub, x, warmup_flags)
+        all_samples.append(np.swapaxes(np.asarray(samples), 0, 1))
+        all_stats.append({k: np.asarray(v).T for k, v in
+                          stats._asdict().items()})
+        done += n_step
+        if verbose:
+            print(f' WALKERS [0-{trace.n_chain - 1}] : ensemble proceeding '
+                  f'[ {i_iter + done} / {trace.n_iter} ].')
+
+    samples = np.concatenate(all_samples, axis=1)
+    stats_arrays = {k: np.concatenate([s[k] for s in all_stats], axis=1)
+                    for k in all_stats[0]}
+    trace._append_results(samples, stats_arrays)
+    trace._carry = (key, np.asarray(x))
+    trace._samples_original = np.asarray(density.to_original(trace._samples))
+    trace._logp_original = np.asarray(density.to_original_density(
+        trace.logp.reshape(-1), x_trans=trace._samples.reshape(
+            (-1, trace._samples.shape[-1])))).reshape(trace.logp.shape)
+    if verbose:
+        print(f' WALKERS [0-{trace.n_chain - 1}] : ensemble finished '
+              f'[ {trace.i_iter} / {trace.n_iter} ] in '
+              f'{time.time() - t_start:.2f} seconds.')
+    return TraceTuple(trace)
 
 
 def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
@@ -156,11 +211,20 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         return TraceTuple(trace)
 
     # ------- pre-run finite check (``base_hmc.py:42-46``) -------
-    logp_0, grad_0 = density.logp_and_grad(x_0, original_space=False)
-    if not (np.isfinite(logp_0).all() and np.isfinite(grad_0).all()):
-        raise ValueError('failed to get finite logp and/or grad at x_0.')
+    if sampler == 'Ensemble':  # gradient-free sampler: check logp only
+        logp_0 = density.logp(x_0, original_space=False)
+        if not np.isfinite(logp_0).all():
+            raise ValueError('failed to get finite logp at x_0.')
+    else:
+        logp_0, grad_0 = density.logp_and_grad(x_0, original_space=False)
+        if not (np.isfinite(logp_0).all() and np.isfinite(grad_0).all()):
+            raise ValueError('failed to get finite logp and/or grad at x_0.')
 
     # ------- driver + carry -------
+    if sampler == 'Ensemble':
+        return _run_ensemble(density, trace, x_0, n_run, i_iter, verbose,
+                             n_update, mesh, dtype)
+
     algo = {'NUTS': 'nuts', 'HMC': 'hmc', 'TNUTS': 'tnuts',
             'THMC': 'thmc'}[sampler]
     tempered = algo in ('tnuts', 'thmc')

@@ -448,12 +448,34 @@ class THTrace(_TTraceMixin, HTrace):
         self.logxi = float(logxi)
 
 
-class ETrace(SampleTrace):
-    """Ensemble-sampler trace: not implemented in the reference either
-    (``samplers/ensemble.py:13-15``)."""
+estats_items = ('logp', 'accept_stat', 'accepted', 'warmup')
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError
+
+class ETrace(_HTrace):
+    """Trace for the affine-invariant ensemble sampler.
+
+    The reference leaves this unimplemented (``samplers/ensemble.py:13-15``);
+    here it is a working stretch-move sampler (``samplers/ensemble.py``).
+    ``n_chain`` is the walker count (must be even and at least 2 * dim for
+    healthy mixing); ``a`` is the stretch parameter.
+    """
+
+    _stats_items = estats_items
+
+    def __init__(self, n_chain=64, n_iter=1500, n_warmup=500, x_0=None,
+                 random_generator=None, a=2.0):
+        SampleTrace.__init__(self, n_chain, n_iter, n_warmup, x_0,
+                             random_generator)
+        self.a = float(a)
+        self._samples = None
+        self._samples_original = None
+        self._logp_original = None
+        self._stats_arrays = None
+        self._carry = None
+
+    @property
+    def n_call(self):
+        return self.n_chain * (self.n_iter + 1)
 
 
 class ChainTrace:
@@ -554,6 +576,8 @@ class TraceTuple:
             return 'TNUTS'
         if isinstance(t, THTrace):
             return 'THMC'
+        if isinstance(t, ETrace):
+            return 'Ensemble'
         if isinstance(t, NTrace):
             return 'NUTS'
         if isinstance(t, HTrace):
