@@ -61,4 +61,13 @@ def shard_chains(tree, n_chain, mesh=None):
     if n_chain % n_dev != 0:
         return tree
     sharding = chain_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    replicated = NamedSharding(mesh, P())
+
+    def put(x):
+        # shard only chain-batched leaves; replicate shared state (e.g. the
+        # pooled mass matrix)
+        if getattr(x, 'ndim', 0) >= 1 and x.shape[0] == n_chain:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, replicated)
+
+    return jax.tree.map(put, tree)

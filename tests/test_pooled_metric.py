@@ -47,6 +47,24 @@ def test_pooled_diag_sampling():
     assert np.allclose(np.sqrt(var), np.asarray(scales), rtol=0.25)
 
 
+def test_pooled_metric_sharded_mesh():
+    # pooled adaptation across a sharded chain axis: the batch Welford
+    # merge becomes an XLA collective (psum) over the 8-device mesh
+    from bayesfast_tpu.parallel import make_mesh, set_mesh
+    set_mesh(make_mesh())
+    try:
+        bf.utils.set_generator(6)
+        scales = jnp.asarray([0.3, 3.0, 1.0, 0.1])
+        den = bf.DensityLite(
+            logp=lambda x: -0.5 * jnp.sum((x / scales) ** 2), input_size=4)
+        tt = bf.sample(den, {'n_chain': 32, 'n_iter': 600, 'n_warmup': 250,
+                             'pooled_metric': True}, verbose=False)
+        s = tt.get(flatten=True)
+        assert np.allclose(s.std(axis=0), np.asarray(scales), rtol=0.2)
+    finally:
+        set_mesh(None)
+
+
 def test_pooled_full_metric_sampling():
     bf.utils.set_generator(5)
     cov = np.array([[2.0, 1.2], [1.2, 1.0]])
