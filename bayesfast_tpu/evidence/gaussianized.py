@@ -60,10 +60,18 @@ class _GBaseQ(_GBase):
     (``gaussianized.py:79-176``)."""
 
     def __init__(self, sit=None, parallel_backend=None, n_q=None,
-                 f_call=0.05):
+                 f_call=0.05, n_q_max=None):
         super().__init__(sit, parallel_backend)
         self.n_q = n_q
         self.f_call = f_call
+        # With massively parallel chains, call-budget-proportional sizing
+        # (f_call * TraceTuple.n_call, ``gaussianized.py:135-154``) can
+        # explode n_q; n_q_max caps it (None = reference behavior).
+        if n_q_max is not None:
+            n_q_max = int(n_q_max)
+            if n_q_max <= 0:
+                raise ValueError('n_q_max should be a positive int or None.')
+        self.n_q_max = n_q_max
 
     @property
     def n_q(self):
@@ -122,6 +130,8 @@ class _GBaseQ(_GBase):
             raise ValueError('invalid shape for x_p.')
         if x_p.shape[0] == 1:
             x_p = x_p[0]  # single chain
+        if self.n_q_max is not None:
+            n_q = min(n_q, self.n_q_max)
         return self._compute_evidence(logp, x_p, logp_p, n_q)
 
     __call__ = run

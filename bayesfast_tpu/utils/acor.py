@@ -10,7 +10,7 @@ import logging
 
 import numpy as np
 
-__all__ = ['integrated_time', 'AutocorrError']
+__all__ = ['integrated_time', 'effective_sample_size', 'AutocorrError']
 
 
 def next_pow_two(n):
@@ -88,3 +88,20 @@ class AutocorrError(Exception):
     def __init__(self, tau, *args, **kwargs):
         self.tau = tau
         super().__init__(*args, **kwargs)
+
+
+def effective_sample_size(x, c=5, tol=50):
+    """Effective sample size from the integrated autocorrelation time.
+
+    ``x`` has shape (n_chain, n_iter, dim) (or lower-dim variants accepted
+    by ``integrated_time``); returns an (dim,) array of ESS estimates
+    ``n_chain * n_iter / tau``.
+    """
+    x = np.atleast_1d(x)
+    if x.ndim == 1:
+        x = x[np.newaxis, :, np.newaxis]
+    if x.ndim == 2:
+        x = x[np.newaxis, :, :]
+    tau = integrated_time(x, c=c, tol=tol, quiet=True)
+    n_w, n_t, _ = x.shape
+    return n_w * n_t / np.maximum(tau, 1.0)

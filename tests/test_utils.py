@@ -1,0 +1,107 @@
+"""Unit tests for the remaining utility components: Laplace, systematic
+resampling, make_positive, autocorrelation time / ESS, collections."""
+
+import numpy as np
+import warnings
+import pytest
+
+from bayesfast_tpu.utils import (Laplace, SystematicResampler, make_positive,
+                                 integrated_time)
+from bayesfast_tpu.utils.acor import effective_sample_size, AutocorrError
+from bayesfast_tpu.utils.collections import VariableDict, PropertyList
+
+
+def test_laplace_gaussian():
+    import jax.numpy as jnp
+    cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+    prec = np.linalg.inv(cov)
+
+    def logp_tr(x):
+        d = x - jnp.asarray([1.0, -2.0])
+        return -0.5 * d @ jnp.asarray(prec) @ d
+
+    def logp(x):
+        return float(logp_tr(jnp.asarray(x)))
+
+    lap = Laplace(beta=1.0, n_sample=4000)
+    res = lap.run(logp, np.zeros(2), traceable=logp_tr)
+    assert np.allclose(res.x_max, [1.0, -2.0], atol=1e-4)
+    assert np.allclose(res.cov, cov, atol=1e-4)
+    assert np.allclose(np.cov(res.samples, rowvar=False), cov, atol=0.1)
+
+    # tempered run + untempering (``laplace.py:185-205``)
+    lap_t = Laplace(beta=100.0, n_sample=4000)
+    res_t = lap_t.run(logp, np.zeros(2), traceable=logp_tr)
+    assert np.allclose(np.cov(res_t.samples, rowvar=False), cov / 100,
+                       atol=0.01)
+    unt = Laplace.untemper_laplace_samples(res_t)
+    assert np.allclose(np.cov(unt, rowvar=False), cov, atol=0.15)
+
+
+def test_make_positive():
+    A = np.diag([1e-12, 1.0, 5.0])
+    B = make_positive(A, max_cond=100.0)
+    w = np.linalg.eigvalsh(B)
+    assert w.min() >= 5.0 / 100.0 - 1e-12
+    with pytest.raises(ValueError):
+        make_positive(-np.eye(2))
+
+
+def test_systematic_resampler():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=1000)
+    rs = SystematicResampler()
+    idx = rs.run(a, 100)
+    assert idx.shape == (100,)
+    # resampled values span the 1st-100th percentile range by rank
+    vals = np.sort(a[idx])
+    assert vals[-1] == np.max(a)
+    assert vals[0] <= np.percentile(a, 2)
+    # non-unique request raises
+    with pytest.raises(RuntimeError):
+        rs.run(a[:50], 200)
+
+
+def test_integrated_time_and_ess():
+    rng = np.random.default_rng(1)
+    # AR(1) with known tau = (1+rho)/(1-rho)
+    rho = 0.9
+    n = 200000
+    x = np.empty(n)
+    x[0] = 0
+    eps = rng.normal(size=n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + eps[i]
+    tau = integrated_time(x, quiet=True)[0]
+    tau_true = (1 + rho) / (1 - rho)
+    assert abs(tau - tau_true) / tau_true < 0.15
+    ess = effective_sample_size(x)
+    assert abs(ess[0] - n / tau_true) / (n / tau_true) < 0.2
+    # short-chain error path
+    with pytest.raises(AutocorrError):
+        integrated_time(x[:100])
+
+
+def test_variable_dict_and_property_list():
+    vd = VariableDict()
+    vd['a'] = (np.arange(3), np.eye(3))
+    fun, jac = vd['a']
+    assert np.array_equal(fun, np.arange(3))
+    assert np.array_equal(jac, np.eye(3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        vd['missing']
+        assert any('neither' in str(x.message) for x in w)
+    assert np.array_equal(VariableDict.get([vd, vd], 'a', 'fun')[1],
+                          np.arange(3))
+
+    calls = []
+    def check(lst):
+        calls.append(len(lst))
+        return lst
+    pl = PropertyList([1, 2], check)
+    pl.append(3)
+    assert list(pl) == [1, 2, 3]
+    assert len(calls) >= 2
+    pl[0] = 5
+    assert pl[0] == 5
