@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 from .hmc import hmc_transition
 from .metrics import update_metric, update_metric_pooled
-from .nuts import nuts_transition
+from .nuts import nuts_transition_batched
 from .step_size import current_step_size, update_step_size
-from .tempered import tnuts_transition, thmc_transition
+from .tempered import tnuts_transition_batched, thmc_transition
 
 __all__ = ['ChainCarry', 'ChainDriver']
 
@@ -60,7 +60,9 @@ class ChainDriver:
         self._compiled = None
 
     def _one_chain_step(self, key, q, step_state, metric, warmup, params):
-        tempered = self._algorithm in ('tnuts', 'thmc')
+        """Per-chain transition for the fixed-trajectory algorithms
+        (hmc/thmc); vmapped over chains by ``_build``."""
+        tempered = self._algorithm == 'thmc'
         if tempered:
             # q holds [u, q...] (the extended tempering coordinate first)
             params_t, params_b = params
@@ -71,22 +73,11 @@ class ChainDriver:
             lpg = lambda x: self._logp_and_grad(params, x)
         eps = current_step_size(step_state, warmup)
         key, k_t = jax.random.split(key)
-        if self._algorithm == 'nuts':
-            q_new, stats = nuts_transition(
-                k_t, q, metric, eps, lpg,
-                self._max_treedepth, self._max_change)
-            accept_stat = stats.mean_tree_accept
-        elif self._algorithm == 'hmc':
+        if self._algorithm == 'hmc':
             q_new, stats = hmc_transition(
                 k_t, q, metric, eps, lpg,
                 self._n_int_step, self._max_change)
             accept_stat = stats.accept_stat
-        elif self._algorithm == 'tnuts':
-            q_new, u_new, stats = tnuts_transition(
-                k_t, qq, u, metric, eps, lpg, lpg_b,
-                self._max_treedepth, self._max_change)
-            accept_stat = stats.mean_tree_accept
-            q_new = jnp.concatenate([u_new[None], q_new])
         elif self._algorithm == 'thmc':
             q_new, u_new, stats = thmc_transition(
                 k_t, qq, u, metric, eps, lpg, lpg_b,
@@ -106,10 +97,48 @@ class ChainDriver:
                   'warmup': warmup}
         return key, q_new, step_state, (stats, extras)
 
+    def _batched_step(self, keys, q, step_state, metric, warmup, params):
+        """Batch-first transition for the tree algorithms (nuts/tnuts): the
+        whole chain batch advances in one flat tree-building loop (see
+        ``nuts.nuts_core_batched``), with adaptation updates running as
+        elementwise batched ops — nothing here is vmapped."""
+        tempered = self._algorithm == 'tnuts'
+        # advance the per-chain key streams; the kernel's per-lane
+        # randomness comes from counter-based (C,)-shaped draws of one key
+        splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
+        new_keys, k_core = splits[:, 0], splits[:, 1][0]
+        eps = current_step_size(step_state, warmup)
+        if tempered:
+            params_t, params_b = params
+            lpg_b = jax.vmap(lambda x: self._logp_and_grad(params_t, x))
+            lpg_base_b = jax.vmap(
+                lambda x: self._logp_and_grad_base(params_b, x))
+            u, qq = q[:, 0], q[:, 1:]
+            q_new, u_new, stats = tnuts_transition_batched(
+                k_core, qq, u, metric, eps, lpg_b, lpg_base_b,
+                self._max_treedepth, self._max_change)
+            q_new = jnp.concatenate([u_new[:, None], q_new], axis=1)
+        else:
+            lpg_b = jax.vmap(lambda x: self._logp_and_grad(params, x))
+            q_new, stats = nuts_transition_batched(
+                k_core, q, metric, eps, lpg_b,
+                self._max_treedepth, self._max_change)
+        accept_stat = stats.mean_tree_accept
+        step_state = update_step_size(
+            step_state, accept_stat, warmup, self._target_accept, self._gamma,
+            self._k, self._t_0, self._adapt_step_size)
+        extras = {'step_size': jnp.exp(step_state.log_step),
+                  'step_size_bar': jnp.exp(step_state.log_bar),
+                  'warmup': jnp.broadcast_to(warmup, accept_stat.shape)}
+        return new_keys, q_new, step_state, (stats, extras)
+
     def _build(self):
-        metric_axis = None if self._pooled_metric else 0
-        batched = jax.vmap(self._one_chain_step,
-                           in_axes=(0, 0, 0, metric_axis, None, None))
+        if self._algorithm in ('nuts', 'tnuts'):
+            batched = self._batched_step
+        else:
+            metric_axis = None if self._pooled_metric else 0
+            batched = jax.vmap(self._one_chain_step,
+                               in_axes=(0, 0, 0, metric_axis, None, None))
         tempered = self._algorithm in ('tnuts', 'thmc')
 
         def scan_fn(carry, warmup_flags, params):

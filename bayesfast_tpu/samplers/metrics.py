@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 __all__ = ['DiagMetricState', 'FullMetricState', 'init_diag_metric',
            'init_full_metric', 'velocity', 'kinetic_energy',
-           'sample_momentum', 'update_metric']
+           'sample_momentum', 'update_metric', 'velocity_b', 'kinetic_b',
+           'sample_momentum_b']
 
 
 class _Welford(NamedTuple):
@@ -110,6 +111,31 @@ def sample_momentum(metric, key):
     dim = metric.cov.shape[0]
     z = jax.random.normal(key, (dim,), metric.cov.dtype)
     return jax.scipy.linalg.solve_triangular(metric.chol.T, z, lower=False)
+
+
+def velocity_b(metric, p):
+    """Batched ``M^{-1} p``: ``p`` is (C, D); the metric state leaves may be
+    per-chain ((C, D) / (C, D, D)) or shared ((D,) / (D, D))."""
+    if isinstance(metric, DiagMetricState):
+        return metric.var * p
+    return jnp.matmul(metric.cov, p[..., None])[..., 0]
+
+
+def kinetic_b(p, v):
+    return 0.5 * jnp.sum(p * v, axis=-1)
+
+
+def sample_momentum_b(metric, key, shape, dtype):
+    """Draw (C, D) momenta ``p ~ N(0, M)`` with ``M = cov^{-1}`` from a
+    single key; the metric may be per-chain or shared across chains."""
+    z = jax.random.normal(key, shape, dtype)
+    if isinstance(metric, DiagMetricState):
+        return z / jnp.sqrt(metric.var)
+    chol_t = jnp.swapaxes(metric.chol, -1, -2)
+    if chol_t.ndim == 2:
+        return jax.scipy.linalg.solve_triangular(chol_t, z.T, lower=False).T
+    return jax.scipy.linalg.solve_triangular(
+        chol_t, z[..., None], lower=False)[..., 0]
 
 
 def _welford_add(w, x, full):

@@ -20,11 +20,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .metrics import velocity, kinetic_energy, sample_momentum
-from .nuts import nuts_core
+import numpy as np
+
+from .metrics import velocity, kinetic_energy, sample_momentum, \
+    sample_momentum_b
+from .nuts import nuts_core_batched, _metric_t, _velocity_t
 
 __all__ = ['TState', 'TnutsStats', 'ThmcStats', 'tnuts_transition',
-           'thmc_transition']
+           'tnuts_transition_batched', 'thmc_transition']
 
 
 class TState(NamedTuple):
@@ -144,19 +147,80 @@ def t_leapfrog(metric, lpg_target, lpg_base, eps, s):
     return TState(q, p, v, u, vu, _weight(delta), energy, -phi2)
 
 
-def tnuts_transition(key, q0, u0, metric, step_size, lpg_target, lpg_base,
-                     max_treedepth, max_change):
-    """One TNUTS iteration; returns ``(q_new, u_new, stats)``."""
-    key, k_mom, k_vu = jax.random.split(key, 3)
-    p0 = sample_momentum(metric, k_mom)
-    vu0 = jax.random.normal(k_vu, (), q0.dtype)
-    start = t_compute_state(metric, lpg_target, lpg_base, q0, p0, u0, vu0)
-    dtype = q0.dtype
+def t_compute_state_t(metric_t, lpg_target, lpg_base, q, p, u, vu):
+    """Lane-minor extended Hamiltonian state: ``q``/``p`` (D, C), ``u``/
+    ``vu`` (C,); lpg maps (D, C) -> ((C,), (D, C))."""
+    lp_t, _ = lpg_target(q)
+    lp_b, _ = lpg_base(q)
+    phi, psi = -lp_t, -lp_b
+    v = _velocity_t(metric_t, p)
+    kinetic = 0.5 * jnp.sum(p * v, axis=0) + 0.5 * vu * vu
+    beta = _beta(u)
+    potential = beta * phi + (1.0 - beta) * psi + _temp_potential(u)
+    energy = kinetic + potential
+    delta = phi - psi
+    return TState(q, p, v, u, vu, _weight(delta), energy, -phi)
 
-    step_fn = lambda eps, s: t_leapfrog(metric, lpg_target, lpg_base, eps, s)
+
+def t_leapfrog_t(metric_t, lpg_target, lpg_base, eps, s):
+    """Lane-minor position-Verlet step; ``eps`` is (C,) signed steps
+    (broadcasts against (D, C) along the minor chain axis)."""
+    dt = 0.5 * eps
+    u = s.u + s.vu * dt
+    q = s.q + s.v * dt
+    lp_t, g_t = lpg_target(q)
+    lp_b, g_b = lpg_base(q)
+    phi, psi = -lp_t, -lp_b
+    dphi, dpsi = -g_t, -g_b
+    beta = _beta(u)
+    d_pot_du = _d_beta(u) * (phi - psi) + _d_temp_potential(u)
+    d_pot_dq = beta * dphi + (1.0 - beta) * dpsi
+    vu = s.vu - d_pot_du * eps
+    p = s.p - d_pot_dq * eps
+    u = u + vu * dt
+    v = _velocity_t(metric_t, p)
+    q = q + v * dt
+    lp_t2, _ = lpg_target(q)
+    lp_b2, _ = lpg_base(q)
+    phi2, psi2 = -lp_t2, -lp_b2
+    kinetic = 0.5 * jnp.sum(p * v, axis=0) + 0.5 * vu * vu
+    beta2 = _beta(u)
+    energy = kinetic + beta2 * phi2 + (1.0 - beta2) * psi2 + \
+        _temp_potential(u)
+    delta = phi2 - psi2
+    return TState(q, p, v, u, vu, _weight(delta), energy, -phi2)
+
+
+def tnuts_transition_batched(key, q0, u0, metric, step_size, lpg_target,
+                             lpg_base, max_treedepth, max_change):
+    """One TNUTS iteration for all chains; returns ``(q_new, u_new, stats)``
+    with batched leaves. ``q0`` is (C, D) and ``lpg_*`` map (C, D) ->
+    ((C,), (C, D)); internally everything runs lane-minor like
+    ``nuts_transition_batched``."""
+    C, D = q0.shape
+    dtype = q0.dtype
+    key, k_mom, k_vu, k_core = jax.random.split(key, 4)
+    p0 = sample_momentum_b(metric, k_mom, (C, D), dtype)
+    vu0 = jax.random.normal(k_vu, (C,), dtype)
+    metric_t = _metric_t(metric)
+
+    def make_lpg_t(lpg):
+        def lpg_t(x_t):
+            logp, grad = lpg(x_t.T)
+            return logp, grad.T
+        return lpg_t
+
+    lpg_target_t = make_lpg_t(lpg_target)
+    lpg_base_t = make_lpg_t(lpg_base)
+    start = t_compute_state_t(metric_t, lpg_target_t, lpg_base_t,
+                              q0.T, p0.T, u0, vu0)
+    step_size = jnp.broadcast_to(jnp.asarray(step_size, dtype), (C,))
+
+    step_fn = lambda eps, s: t_leapfrog_t(metric_t, lpg_target_t,
+                                          lpg_base_t, eps, s)
     prop_of = lambda s: _TProposal(s.q, s.u, s.weight, s.energy, s.logp)
-    out = nuts_core(key, start, step_fn, prop_of, step_size, max_treedepth,
-                    max_change)
+    out = nuts_core_batched(k_core, start, step_fn, prop_of, step_size,
+                            max_treedepth, max_change)
 
     prop = out['prop']
     n_prop_f = jnp.maximum(out['n_prop'], 1).astype(dtype)
@@ -166,7 +230,19 @@ def tnuts_transition(key, q0, u0, metric, step_size, lpg_target, lpg_base,
         mean_tree_accept=out['accept_sum'] / n_prop_f,
         energy_change=prop.energy - start.energy,
         max_energy_change=out['max_de'], diverging=out['diverging'])
-    return prop.q, prop.u, stats
+    return prop.q.T, prop.u, stats
+
+
+def tnuts_transition(key, q0, u0, metric, step_size, lpg_target, lpg_base,
+                     max_treedepth, max_change):
+    """Single-chain TNUTS wrapper: batch of one over the batched kernel
+    (do not vmap; the driver uses ``tnuts_transition_batched``)."""
+    metric_b = jax.tree.map(lambda l: l[None], metric)
+    q_new, u_new, stats = tnuts_transition_batched(
+        key, q0[None], jnp.reshape(u0, (1,)), metric_b,
+        jnp.reshape(step_size, (1,)), jax.vmap(lpg_target),
+        jax.vmap(lpg_base), max_treedepth, max_change)
+    return q_new[0], u_new[0], jax.tree.map(lambda l: l[0], stats)
 
 
 def thmc_transition(key, q0, u0, metric, step_size, lpg_target, lpg_base,
