@@ -168,7 +168,13 @@ def update_metric(metric, sample, warmup, update_window=1, doubling=True):
         cov = jnp.where(do_refresh, cov_new, metric.cov)
         chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
     else:
-        var = jnp.where(do_refresh, fg.raw / fg.weight, metric.var)
+        # floor: stuck chains (e.g. during a far-tail cold start) produce
+        # exactly-zero sample variance at a window switch, and var = 0
+        # means infinite momenta and a permanently dead chain. The kinetic
+        # energy is var-free (K = z^2/2), so a tiny floor keeps the chain
+        # alive and lets dual averaging recover it.
+        var = jnp.where(do_refresh, jnp.maximum(fg.raw / fg.weight, 1e-20),
+                        metric.var)
 
     do_switch = delta >= metric.adapt_window
     zero = _zero_welford(dim, dtype, full)
@@ -235,7 +241,9 @@ def update_metric_pooled(metric, samples, warmup, update_window=1,
         cov = jnp.where(do_refresh, cov_new, metric.cov)
         chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
     else:
-        var = jnp.where(do_refresh, fg.raw / fg.weight, metric.var)
+        # same zero-variance floor as the per-chain update
+        var = jnp.where(do_refresh, jnp.maximum(fg.raw / fg.weight, 1e-20),
+                        metric.var)
 
     do_switch = delta >= metric.adapt_window
     zero = _zero_welford(dim, dtype, full)

@@ -57,6 +57,25 @@ class cubic_spline:
         edge_bins = min(edge_bins, bins // 4)
         self._x = np.unique(np.percentile(
             x_all, np.linspace(0, 100, bins + 1)[edge_bins:-edge_bins]))
+        if self._x.shape[0] < max(4, edge_bins + 2):
+            # (near-)degenerate data: all percentile knots collapse. The
+            # reference crashes here; fall back to the affine map
+            # y = (x - m) / s so the transform stays well-defined.
+            m = float(np.mean(x_all))
+            s = float(np.std(x_all))
+            s = max(s, 1e-6 * max(abs(m), 1.0))
+            warnings.warn('cubic_spline: degenerate data, falling back to '
+                          'an affine map.', RuntimeWarning)
+            self._x = np.array([m - 3 * s, m + 3 * s])
+            self._y = np.array([-3.0, 3.0])
+            self._n = 2
+            k = 1.0 / s
+            self._c = np.zeros((3, 4))
+            self._c[:, 2] = k
+            self._c[0, 3] = self._y[0]
+            self._c[1, 3] = self._y[0]
+            self._c[2, 3] = self._y[1]
+            return
         self._y = np.asarray(fun(self._x), np.float64)
         self._n = self._x.shape[0]
 

@@ -4,12 +4,21 @@ Port of the reference's ``examples/banana-gbs.ipynb`` (fiducial
 logz = -127.364; published run: -127.276 +- 0.053). The density is written
 in JAX — the analytic gradient of the reference collapses into autodiff.
 
+Runs in float64 (works on TPU too, ~12x slower than f32): the sobol
+N(0, I) starting points land at |logp| ~ 3e6 in this bounded, Q=0.01
+density, where float32 energy differences round to +-0.5 — that noise
+biases the dual-averaging acceptance statistics and the warmup never
+escapes the tail. In float64 the warmup matches the reference exactly.
+(Verified against a pure-numpy recursive oracle of the reference sampler.)
+
 Environment knobs: N_CHAIN (default 64), N_ITER (2500), N_WARMUP (1000).
 """
 
 import os
 
 import numpy as np
+import jax
+jax.config.update('jax_enable_x64', True)
 import jax.numpy as jnp
 from scipy.stats import special_ortho_group
 

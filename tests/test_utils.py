@@ -105,3 +105,32 @@ def test_variable_dict_and_property_list():
     assert len(calls) >= 2
     pl[0] = 5
     assert pl[0] == 5
+
+
+def test_cubic_spline_degenerate_fallback():
+    """Exactly-degenerate 1-d data must fall back to an affine map instead
+    of crashing (the reference raises IndexError in this case)."""
+    from bayesfast_tpu.utils.cubic import cubic_spline
+    x = np.full(500, 2.5)
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        cs = cubic_spline(x, lambda xx: xx)
+    out = cs.evaluate(np.array([2.5]))
+    assert np.all(np.isfinite(out))
+    assert np.all(cs.derivative(np.array([2.5])) > 0)
+    # inverse round-trips through the affine map
+    assert np.allclose(cs.solve(cs.evaluate(np.array([2.5]))), 2.5)
+
+
+def test_metric_variance_floor():
+    """Identical samples across a full adaptation window must not collapse
+    the adapted variance to exactly zero (which would mean infinite
+    momenta and a permanently dead chain)."""
+    import jax.numpy as jnp
+    from bayesfast_tpu.samplers.metrics import (init_diag_metric,
+                                                update_metric)
+    m = init_diag_metric(jnp.zeros(3), jnp.ones(3))
+    x = jnp.full((3,), 1.7)
+    for _ in range(130):  # beyond the first 60-sample window switch
+        m = update_metric(m, x, True)
+    assert np.all(np.asarray(m.var) > 0)
