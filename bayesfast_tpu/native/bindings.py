@@ -47,6 +47,10 @@ def _load():
                                         _c_dbl_p]
         lib.bf_kde_cdf.argtypes = [_c_dbl_p, _c_dbl_p, _i64,
                                    ctypes.c_double, _c_dbl_p, _i64, _c_dbl_p]
+        lib.bf_kde_cdf_sorted.argtypes = [_c_dbl_p, _c_dbl_p, _c_dbl_p, _i64,
+                                          ctypes.c_double, _c_dbl_p, _i64,
+                                          _c_dbl_p]
+        lib.bf_set_threads.argtypes = [ctypes.c_int]
         lib.bf_spline_eval.argtypes = [_c_dbl_p, _c_dbl_p, _i64, _c_dbl_p,
                                        _i64, _c_dbl_p]
         lib.bf_spline_deriv.argtypes = lib.bf_spline_eval.argtypes
@@ -62,6 +66,15 @@ def _load():
 
 def available():
     return _load() is not None
+
+
+def set_threads(n):
+    """Cap (n > 0) or restore (n = 0) the OpenMP team size of every native
+    kernel — callers that fan out over host threads set 1 to avoid
+    oversubscription."""
+    lib = _load()
+    if lib is not None:
+        lib.bf_set_threads(int(n))
 
 
 def _dp(a):
@@ -101,6 +114,29 @@ def kde_cdf(data, weights, h, x):
         return out
     from scipy.special import ndtr
     return ndtr((x[:, None] - data[None, :]) / h) @ weights
+
+
+def kde_cdf_sorted(sdata, sweights, prefix, h, x):
+    """Windowed KDE cdf on presorted data with prefix weight sums: only the
+    +-8h kernel window needs erf terms; the caller sorts once per kde."""
+    sdata = np.ascontiguousarray(sdata, np.float64)
+    sweights = np.ascontiguousarray(sweights, np.float64)
+    prefix = np.ascontiguousarray(prefix, np.float64)
+    x = np.ascontiguousarray(x, np.float64)
+    lib = _load()
+    if lib is not None:
+        out = np.empty_like(x)
+        lib.bf_kde_cdf_sorted(_dp(sdata), _dp(sweights), _dp(prefix),
+                              sdata.size, float(h), _dp(x), x.size, _dp(out))
+        return out
+    from scipy.special import ndtr
+    lo = np.searchsorted(sdata, x - 8 * h, side='right')
+    out = prefix[lo]
+    for i, xi in enumerate(x):
+        hi = np.searchsorted(sdata, xi + 8 * h, side='right')
+        sl = slice(lo[i], hi)
+        out[i] += ndtr((xi - sdata[sl]) / h) @ sweights[sl]
+    return out
 
 
 def _check_spline(c, x):

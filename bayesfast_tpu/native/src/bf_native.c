@@ -22,12 +22,28 @@
 #include <math.h>
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
 #define BF_EXPORT __attribute__((visibility("default")))
+
+/* 0 = OpenMP default; >0 caps the team size of every parallel region.
+ * Callers that fan out over host threads (e.g. the SIT per-dim fits) set
+ * this to 1 to avoid oversubscription. */
+static volatile int bf_max_threads = 0;
+
+BF_EXPORT void bf_set_threads(int n) { bf_max_threads = n; }
+
+#ifdef _OPENMP
+static int bf_team(void)
+{
+    int n = bf_max_threads;
+    return n > 0 ? n : omp_get_max_threads();
+}
+#endif
 
 /* ------------------------- Sobol ------------------------- */
 
@@ -38,7 +54,7 @@ BF_EXPORT void bf_sobol_points(const uint32_t *V, int64_t d, int64_t n_bits,
 {
     const double scale = 1.0 / 4294967296.0; /* 2^-32 */
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(bf_team())
 #endif
     for (int64_t j = 0; j < d; ++j) {
         const uint32_t *Vj = V + j * n_bits;
@@ -64,20 +80,59 @@ BF_EXPORT void bf_sobol_points(const uint32_t *V, int64_t d, int64_t n_bits,
 
 /* ------------------------- KDE cdf ------------------------- */
 
-/* cdf(x_i) = sum_k w_k * Phi((x_i - data_k) / h); Phi via erf. */
+/* cdf(x_i) = sum_k w_k * Phi((x_i - data_k) / h); Phi via erf.
+ *
+ * Dense variant plus a presorted windowed variant below. */
+
 BF_EXPORT void bf_kde_cdf(const double *data, const double *weights,
                           int64_t n_data, double h, const double *x,
                           int64_t n_x, double *out)
 {
     const double inv = 1.0 / (h * 1.4142135623730951); /* 1/(h*sqrt(2)) */
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(bf_team())
 #endif
     for (int64_t i = 0; i < n_x; ++i) {
         double acc = 0.0;
         const double xi = x[i];
         for (int64_t k = 0; k < n_data; ++k)
             acc += weights[k] * 0.5 * (1.0 + erf((xi - data[k]) * inv));
+        out[i] = acc;
+    }
+}
+
+/* first index k with arr[k] > t (upper bound) */
+static int64_t bf_upper_d(const double *arr, int64_t n, double t)
+{
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (arr[mid] > t) hi = mid; else lo = mid + 1;
+    }
+    return lo;
+}
+
+/* Variant for presorted data with precomputed prefix weight sums
+ * (prefix[k] = sum of sw[0..k-1], length n_data + 1): only the +-8h window
+ * needs erf, everything below contributes its full weight. The caller
+ * sorts once per kde object; fits evaluate the cdf many times. */
+BF_EXPORT void bf_kde_cdf_sorted(const double *sdata, const double *sw,
+                                 const double *prefix, int64_t n_data,
+                                 double h, const double *x, int64_t n_x,
+                                 double *out)
+{
+    const double inv = 1.0 / (h * 1.4142135623730951);
+    const double win = 8.0 * h;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(bf_team())
+#endif
+    for (int64_t i = 0; i < n_x; ++i) {
+        const double xi = x[i];
+        const int64_t lo = bf_upper_d(sdata, n_data, xi - win);
+        const int64_t hi = bf_upper_d(sdata, n_data, xi + win);
+        double acc = prefix[lo]; /* everything far below: Phi = 1 */
+        for (int64_t k = lo; k < hi; ++k)
+            acc += sw[k] * 0.5 * (1.0 + erf((xi - sdata[k]) * inv));
         out[i] = acc;
     }
 }
@@ -117,7 +172,7 @@ BF_EXPORT void bf_spline_eval(const double *c, const double *x, int64_t m,
                               const double *xp, int64_t n, double *out)
 {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(bf_team())
 #endif
     for (int64_t i = 0; i < n; ++i) {
         int64_t j = find_interval(x, m, xp[i]);
@@ -134,7 +189,7 @@ BF_EXPORT void bf_spline_deriv(const double *c, const double *x, int64_t m,
                                const double *xp, int64_t n, double *out)
 {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(bf_team())
 #endif
     for (int64_t i = 0; i < n; ++i) {
         int64_t j = find_interval(x, m, xp[i]);
@@ -153,7 +208,7 @@ BF_EXPORT void bf_spline_solve(const double *c, const double *x,
                                int64_t n, double *out)
 {
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(bf_team())
 #endif
     for (int64_t i = 0; i < n; ++i) {
         int64_t j = find_interval(y, m, yp[i]);

@@ -26,6 +26,48 @@ from ..ops.ica import fast_ica
 __all__ = ['SIT']
 
 
+@jax.jit
+def _flow_forward(xs, cs, m, A, mu, x):
+    """Full forward flow in one device program: ``lax.scan`` over the
+    stacked layers. ``x`` is (n, D); returns (y, log_j) without the
+    (host-side constant) sum of rotation log-dets."""
+    from ..utils.cubic import _set_evaluate, _set_derivative
+
+    def body(carry, layer):
+        y, lj = carry
+        xs_l, cs_l, m_l, A_l, mu_l = layer
+        y = (y - mu_l) @ A_l.T
+        yT = y.T
+        der = _set_derivative(xs_l, cs_l, m_l, yT)
+        lj = lj + jnp.sum(jnp.log(der), axis=0)
+        y = _set_evaluate(xs_l, cs_l, m_l, yT).T
+        return (y, lj), None
+
+    lj0 = jnp.zeros(x.shape[0], x.dtype)
+    (y, lj), _ = jax.lax.scan(body, (x, lj0), (xs, cs, m, A, mu))
+    return y, lj
+
+
+@jax.jit
+def _flow_backward(xs, ys, cs, m, B, mu, y):
+    """Full backward flow in one device program (layers in reverse)."""
+    from ..utils.cubic import _set_solve, _set_derivative
+
+    def body(carry, layer):
+        x, lj = carry
+        xs_l, ys_l, cs_l, m_l, B_l, mu_l = layer
+        xT = _set_solve(xs_l, ys_l, cs_l, m_l, x.T)
+        der = _set_derivative(xs_l, cs_l, m_l, xT)
+        lj = lj + jnp.sum(jnp.log(der), axis=0)
+        x = xT.T @ B_l.T + mu_l
+        return (x, lj), None
+
+    lj0 = jnp.zeros(y.shape[0], y.dtype)
+    (x, lj), _ = jax.lax.scan(body, (y, lj0), (xs, ys, cs, m, B, mu),
+                              reverse=True)
+    return x, lj
+
+
 class SIT:
     """Sliced Iterative Transform generative model.
 
@@ -114,8 +156,26 @@ class SIT:
                             **self.cubic_options)
 
     def _gaussianize_nd(self, y):
-        splines = [self._gaussianize_1d(np.asarray(y[:, i]))
-                   for i in range(self.dim)]
+        # thread pool over dims: the per-dim fits spend their time in the
+        # native KDE-cdf kernel and numpy (both GIL-releasing), so threads
+        # scale with host cores — the TPU-host analog of the reference
+        # farming per-dim fits over a process pool (``sit.py:230``)
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        from ..native import bindings as _native
+        n_workers = min(self.dim, _os.cpu_count() or 1)
+        if n_workers > 1:
+            _native.set_threads(1)  # one OMP lane per python thread
+            try:
+                with ThreadPoolExecutor(n_workers) as ex:
+                    splines = list(ex.map(
+                        lambda i: self._gaussianize_1d(np.asarray(y[:, i])),
+                        range(self.dim)))
+            finally:
+                _native.set_threads(0)
+        else:
+            splines = [self._gaussianize_1d(np.asarray(y[:, i]))
+                       for i in range(self.dim)]
         sset = CubicSplineSet(splines)
         self._spline_sets.append(sset)
         out = np.asarray(sset.evaluate(np.asarray(y).T)).T
@@ -212,6 +272,37 @@ class SIT:
 
     # ------------- transforms -------------
 
+    # rows per device pass: keeps the evidence phase (millions of proposal
+    # points through 10+ flow layers) memory-bounded on a single chip
+    _chunk_rows = 1 << 18
+
+    def _stacked(self):
+        """Stack every layer's padded spline set + rotation into (L, ...)
+        device arrays (cached per layer count), so the whole multi-layer
+        flow runs as ONE jitted ``lax.scan`` — a single host<->device
+        round-trip per chunk instead of several per layer (the per-layer
+        transfers dominated the evidence phase)."""
+        if getattr(self, '_stk_n', -1) == self.i_iter:
+            return self._stk
+        L, D = self.i_iter, self.dim
+        M = max(s.xs.shape[1] for s in self._spline_sets)
+        xs = np.full((L, D, M), np.inf)
+        ys = np.full((L, D, M), np.inf)
+        cs = np.zeros((L, D, M + 1, 4))
+        m = np.zeros((L, D), np.int32)
+        for i, ss in enumerate(self._spline_sets):
+            Mi = ss.xs.shape[1]
+            xs[i, :, :Mi] = np.asarray(ss.xs)
+            ys[i, :, :Mi] = np.asarray(ss.ys)
+            cs[i, :, :Mi + 1] = np.asarray(ss.cs)
+            m[i] = np.asarray(ss.m)
+        self._stk = dict(
+            xs=jnp.asarray(xs), ys=jnp.asarray(ys), cs=jnp.asarray(cs),
+            m=jnp.asarray(m), A=jnp.asarray(self._A),
+            B=jnp.asarray(self._B), mu=jnp.asarray(self._m))
+        self._stk_n = L
+        return self._stk
+
     def forward_transform(self, x, use_parallel=False):
         """Data space -> latent (approximately N(0, I)); returns (y, log_j)
         (``sit.py:385-419``)."""
@@ -222,17 +313,21 @@ class SIT:
             raise ValueError('invalid shape for x.')
         original_shape = y.shape
         y = y.reshape((-1, original_shape[-1]))
-        log_j = np.zeros(y.shape[0])
-
-        for i in range(self.i_iter):
-            y = (y - self._m[i]) @ self._A[i].T
-            yT = jnp.asarray(y.T)
-            sset = self._spline_sets[i]
-            der = np.asarray(sset.derivative(yT))
-            log_j += np.sum(np.log(der), axis=0)
-            y = np.asarray(sset.evaluate(yT)).T
-        log_j += np.sum(self._logdetA)
-
+        if y.shape[0] > self._chunk_rows:
+            outs = [self.forward_transform(y[o:o + self._chunk_rows])
+                    for o in range(0, y.shape[0], self._chunk_rows)]
+            return (np.concatenate([o[0] for o in outs]
+                                   ).reshape(original_shape),
+                    np.concatenate([o[1] for o in outs]
+                                   ).reshape(original_shape[:-1]))
+        if self.i_iter == 0:
+            return (y.reshape(original_shape),
+                    np.zeros(original_shape[:-1]))
+        stk = self._stacked()
+        yd, lj = _flow_forward(stk['xs'], stk['cs'], stk['m'], stk['A'],
+                               stk['mu'], jnp.asarray(y))
+        y = np.asarray(yd)
+        log_j = np.asarray(lj) + np.sum(self._logdetA)
         y = y.reshape(original_shape)
         log_j = log_j.reshape(original_shape[:-1])
         return y, log_j
@@ -246,16 +341,21 @@ class SIT:
             raise ValueError('invalid shape for y.')
         original_shape = x.shape
         x = x.reshape((-1, original_shape[-1]))
-        log_j = np.zeros(x.shape[0])
-
-        for i in reversed(range(self.i_iter)):
-            sset = self._spline_sets[i]
-            x = np.asarray(sset.solve(jnp.asarray(x.T))).T
-            der = np.asarray(sset.derivative(jnp.asarray(x.T)))
-            log_j += np.sum(np.log(der), axis=0)
-            x = x @ self._B[i].T + self._m[i]
-        log_j += np.sum(self._logdetA)
-
+        if x.shape[0] > self._chunk_rows:
+            outs = [self.backward_transform(x[o:o + self._chunk_rows])
+                    for o in range(0, x.shape[0], self._chunk_rows)]
+            return (np.concatenate([o[0] for o in outs]
+                                   ).reshape(original_shape),
+                    np.concatenate([o[1] for o in outs]
+                                   ).reshape(original_shape[:-1]))
+        if self.i_iter == 0:
+            return (x.reshape(original_shape),
+                    np.zeros(original_shape[:-1]))
+        stk = self._stacked()
+        xd, lj = _flow_backward(stk['xs'], stk['ys'], stk['cs'], stk['m'],
+                                stk['B'], stk['mu'], jnp.asarray(x))
+        x = np.asarray(xd)
+        log_j = np.asarray(lj) + np.sum(self._logdetA)
         x = x.reshape(original_shape)
         log_j = log_j.reshape(original_shape[:-1])
         return x, log_j

@@ -312,7 +312,17 @@ class CubicSplineSet:
         self.splines = list(splines)
         D = len(self.splines)
         m = np.array([s._n for s in self.splines], np.int32)
-        M = int(m.max()) if pad_to is None else int(pad_to)
+        if pad_to is None:
+            # bucket the padded width to the next power of two (>= 64):
+            # every flow layer gets its own knot counts, and without
+            # bucketing each layer's set has a distinct padded shape, so
+            # XLA recompiles evaluate/derivative/solve per layer (~30 s of
+            # compiles per SIT fit, measured on TPU v5).
+            M = 64
+            while M < int(m.max()):
+                M *= 2
+        else:
+            M = int(pad_to)
         if M < m.max():
             raise ValueError('pad_to smaller than max knot count.')
         xs = np.full((D, M), np.inf)

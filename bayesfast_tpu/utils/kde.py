@@ -111,7 +111,14 @@ class kde:
         x = np.atleast_1d(np.asarray(x, np.float64))
         h = np.sqrt(self.covariance[0, 0])
         from ..native import bindings as _native
-        if _native.available():
-            return _native.kde_cdf(self.dataset[:, 0], self._weights, h, x)
-        diff_scaled = (x[:, None] - self.dataset[None, :, 0]) / h
-        return ndtr(diff_scaled) @ self._weights
+        # sort once per kde; each Gaussianization spline fit evaluates the
+        # cdf several times, and the windowed kernel only touches the +-8h
+        # neighborhood of each query in the sorted data
+        if getattr(self, '_cdf_cache', None) is None:
+            order = np.argsort(self.dataset[:, 0], kind='stable')
+            sdata = np.ascontiguousarray(self.dataset[order, 0])
+            sw = np.ascontiguousarray(self._weights[order])
+            prefix = np.concatenate(([0.0], np.cumsum(sw)))
+            self._cdf_cache = (sdata, sw, prefix)
+        sdata, sw, prefix = self._cdf_cache
+        return _native.kde_cdf_sorted(sdata, sw, prefix, h, x)

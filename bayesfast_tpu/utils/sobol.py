@@ -138,17 +138,28 @@ def uniform(low, high, size, skip=1):
     return np.asarray(pts)
 
 
-def multivariate_normal(mean, cov, size, skip=1):
-    """Sobol-QMC multivariate normal draws (``utils/sobol.py:49-60``)."""
+def multivariate_normal(mean, cov, size, skip=1, chunk=1 << 18):
+    """Sobol-QMC multivariate normal draws (``utils/sobol.py:49-60``).
+
+    Draws are produced in chunks of at most ``chunk`` points (the Sobol
+    sequence continues across chunks via ``skip``), so evidence-phase
+    requests of millions of proposal points stay memory-bounded on device.
+    """
     mean = np.atleast_1d(mean)
     cov = np.atleast_2d(cov)
     d = mean.shape[0]
     if not (mean.shape == (d,) and cov.shape == (d, d)):
         raise ValueError('the shape of mean is not consistent with the shape '
                          'of cov.')
-    pts = jnp.asarray(uniform(np.zeros(d), np.ones(d), size, skip))
-    z = jax.scipy.special.ndtri(pts)
+    size = int(size)
     a, w = np.linalg.eigh(np.asarray(cov, np.float64))
     a = np.clip(a, 0.0, None)
-    pts = jnp.asarray(mean, z.dtype) + (z * jnp.asarray(a**0.5, z.dtype)) @ jnp.asarray(w.T, z.dtype)
-    return np.asarray(pts)
+    out = np.empty((size, d), np.asarray(get_dtype()(0)).dtype)
+    for off in range(0, size, chunk):
+        n = min(chunk, size - off)
+        pts = jnp.asarray(uniform(np.zeros(d), np.ones(d), n, skip + off))
+        z = jax.scipy.special.ndtri(pts)
+        res = jnp.asarray(mean, z.dtype) + \
+            (z * jnp.asarray(a ** 0.5, z.dtype)) @ jnp.asarray(w.T, z.dtype)
+        out[off:off + n] = np.asarray(res)
+    return out
