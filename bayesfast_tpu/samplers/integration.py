@@ -11,10 +11,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .metrics import velocity, kinetic_energy, velocity_b, kinetic_b
+from .metrics import velocity, kinetic_energy
 
-__all__ = ['IntegratorState', 'leapfrog', 'compute_state',
-           'leapfrog_b', 'compute_state_b']
+__all__ = ['IntegratorState', 'leapfrog', 'compute_state']
 
 
 class IntegratorState(NamedTuple):
@@ -46,25 +45,3 @@ def leapfrog(metric, logp_and_grad, eps, s):
     energy = kinetic_energy(p_new, v_new) - logp
     return IntegratorState(q_new, p_new, v_new, grad, energy, logp)
 
-
-def compute_state_b(metric, logp_and_grad, q, p):
-    """Batched Hamiltonian state: ``q``/``p`` are (C, D); ``logp_and_grad``
-    maps (C, D) -> ((C,), (C, D)); the metric state may be per-chain
-    (leading C on its leaves) or shared."""
-    logp, grad = logp_and_grad(q)
-    v = velocity_b(metric, p)
-    energy = kinetic_b(p, v) - logp
-    return IntegratorState(q, p, v, grad, energy, logp)
-
-
-def leapfrog_b(metric, logp_and_grad, eps, s):
-    """Batched leapfrog step; ``eps`` is (C, 1) signed per-chain steps."""
-    dt = 0.5 * eps
-    p_half = s.p + dt * s.grad
-    v_half = velocity_b(metric, p_half)
-    q_new = s.q + eps * v_half
-    logp, grad = logp_and_grad(q_new)
-    p_new = p_half + dt * grad
-    v_new = velocity_b(metric, p_new)
-    energy = kinetic_b(p_new, v_new) - logp
-    return IntegratorState(q_new, p_new, v_new, grad, energy, logp)

@@ -26,8 +26,7 @@ import jax.numpy as jnp
 
 __all__ = ['DiagMetricState', 'FullMetricState', 'init_diag_metric',
            'init_full_metric', 'velocity', 'kinetic_energy',
-           'sample_momentum', 'update_metric', 'velocity_b', 'kinetic_b',
-           'sample_momentum_b']
+           'sample_momentum', 'update_metric', 'sample_momentum_b']
 
 
 class _Welford(NamedTuple):
@@ -111,18 +110,6 @@ def sample_momentum(metric, key):
     dim = metric.cov.shape[0]
     z = jax.random.normal(key, (dim,), metric.cov.dtype)
     return jax.scipy.linalg.solve_triangular(metric.chol.T, z, lower=False)
-
-
-def velocity_b(metric, p):
-    """Batched ``M^{-1} p``: ``p`` is (C, D); the metric state leaves may be
-    per-chain ((C, D) / (C, D, D)) or shared ((D,) / (D, D))."""
-    if isinstance(metric, DiagMetricState):
-        return metric.var * p
-    return jnp.matmul(metric.cov, p[..., None])[..., 0]
-
-
-def kinetic_b(p, v):
-    return 0.5 * jnp.sum(p * v, axis=-1)
 
 
 def sample_momentum_b(metric, key, shape, dtype):
