@@ -22,6 +22,7 @@ from ..config import get_dtype
 from ..samplers.chain import ChainCarry, ChainDriver
 from ..samplers.metrics import init_diag_metric, init_full_metric
 from ..samplers.sample_trace import (NTrace, HTrace, TNTrace, THTrace,
+                                     CTrace,
                                      ETrace, TraceTuple)
 from ..samplers.step_size import init_step_size, check_acceptance
 from ..utils.sobol import multivariate_normal
@@ -37,6 +38,8 @@ def _resolve_trace(sample_trace, sampler):
         return sample_trace, 'TNUTS'
     if isinstance(sample_trace, THTrace):
         return sample_trace, 'THMC'
+    if isinstance(sample_trace, CTrace):
+        return sample_trace, 'CHEES'
     if isinstance(sample_trace, NTrace):
         return sample_trace, 'NUTS'
     if isinstance(sample_trace, HTrace):
@@ -46,7 +49,8 @@ def _resolve_trace(sample_trace, sampler):
     if sample_trace is None or isinstance(sample_trace, dict):
         sample_trace = {} if sample_trace is None else sample_trace
         cls = {'NUTS': NTrace, 'HMC': HTrace, 'TNUTS': TNTrace,
-               'THMC': THTrace, 'Ensemble': ETrace}.get(sampler)
+               'THMC': THTrace, 'Ensemble': ETrace,
+               'CHEES': CTrace}.get(sampler)
         if cls is None:
             raise ValueError('unexpected value for sampler.')
         return cls(**sample_trace), sampler
@@ -55,7 +59,7 @@ def _resolve_trace(sample_trace, sampler):
     raise ValueError('unexpected value for sample_trace.')
 
 
-def _init_carry(trace, x_0, dtype, tempered=False):
+def _init_carry(trace, x_0, dtype, tempered=False, algo=None):
     """Build the batched per-chain carry (RNG keys, q, step size, metric).
 
     For tempered samplers the position vector is extended to ``[u, q...]``
@@ -75,8 +79,17 @@ def _init_carry(trace, x_0, dtype, tempered=False):
 
     step0 = trace.step_size if trace.step_size is not None else 1.0
     step0 = step0 / dim ** 0.25  # ``sample_trace.py:365-373``
-    ss = jax.vmap(lambda _: init_step_size(jnp.asarray(step0, dtype), dtype))(
-        jnp.arange(n_chain))
+    if algo == 'chees':
+        # shared scalar adaptation state (step size + trajectory length);
+        # copy every leaf: jax dedupes equal scalar constants into one
+        # buffer, which breaks carry donation ("donate the same buffer
+        # twice") when e.g. adam_m and adam_v are both zeros
+        from ..samplers.chees import init_chees_adapt
+        ss = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                          init_chees_adapt(step0, trace.traj_len_0, dtype))
+    else:
+        ss = jax.vmap(lambda _: init_step_size(
+            jnp.asarray(step0, dtype), dtype))(jnp.arange(n_chain))
 
     metric = trace.metric
     if isinstance(metric, str):
@@ -226,7 +239,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
                              n_update, mesh, dtype)
 
     algo = {'NUTS': 'nuts', 'HMC': 'hmc', 'TNUTS': 'tnuts',
-            'THMC': 'thmc'}[sampler]
+            'THMC': 'thmc', 'CHEES': 'chees'}[sampler]
     tempered = algo in ('tnuts', 'thmc')
     base_lpg = None
     base_density = None
@@ -250,12 +263,15 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         adapt_step_size=trace.adapt_step_size,
         update_window=trace.update_window, doubling=trace.doubling,
         adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg,
-        pooled_metric=getattr(trace, 'pooled_metric', False))
+        pooled_metric=getattr(trace, 'pooled_metric', False),
+        max_leapfrogs=getattr(trace, 'max_leapfrogs', 1024),
+        adapt_traj_len=getattr(trace, 'adapt_traj_len', True),
+        chees_lr=getattr(trace, 'chees_lr', 0.025))
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)
     else:
-        carry = _init_carry(trace, x_0, dtype, tempered)
+        carry = _init_carry(trace, x_0, dtype, tempered, algo)
         trace._chain_initialized = True
     carry = shard_chains(carry, trace.n_chain, mesh)
 
@@ -317,12 +333,18 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
               f'samples per chain in {t_f:.2f} seconds.')
 
     if not np.all(stats_arrays['warmup'][:, -1:]):
-        # post-warmup acceptance check per chain (``step_size.py:53-68``)
+        # post-warmup acceptance check per chain (``step_size.py:53-68``);
+        # chees keeps one shared step state, so check it once
         ss = trace._carry.step
-        for i in range(trace.n_chain):
-            si = jax.tree.map(lambda a: a[i], ss)
-            msg = check_acceptance(si, trace.target_accept, i)
+        if getattr(ss, 'log_step', None) is None:  # CheesAdaptState
+            msg = check_acceptance(ss.step, trace.target_accept, None)
             if msg is not None:
                 warnings.warn(msg, RuntimeWarning)
+        else:
+            for i in range(trace.n_chain):
+                si = jax.tree.map(lambda a: a[i], ss)
+                msg = check_acceptance(si, trace.target_accept, i)
+                if msg is not None:
+                    warnings.warn(msg, RuntimeWarning)
 
     return TraceTuple(trace)

@@ -14,6 +14,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .chees import chees_transition_batched, chees_adapt_update, halton2
 from .hmc import hmc_transition
 from .metrics import update_metric, update_metric_pooled
 from .nuts import nuts_transition_batched
@@ -41,7 +42,11 @@ class ChainDriver:
                  n_int_step=32, max_change=1000., target_accept=0.8,
                  gamma=0.05, k=0.75, t_0=10., adapt_step_size=True,
                  update_window=1, doubling=True, adapt_metric=True,
-                 logp_and_grad_base=None, pooled_metric=False):
+                 logp_and_grad_base=None, pooled_metric=False,
+                 max_leapfrogs=1024, adapt_traj_len=True, chees_lr=0.025):
+        self._max_leapfrogs = int(max_leapfrogs)
+        self._adapt_traj_len = bool(adapt_traj_len)
+        self._chees_lr = float(chees_lr)
         self._logp_and_grad = logp_and_grad
         self._logp_and_grad_base = logp_and_grad_base
         self._algorithm = algorithm
@@ -132,8 +137,36 @@ class ChainDriver:
                   'warmup': jnp.broadcast_to(warmup, accept_stat.shape)}
         return new_keys, q_new, step_state, (stats, extras)
 
+    def _chees_step(self, keys, q, adapt, metric, warmup, params):
+        """Batch-first ChEES-HMC step: shared jittered trajectory, per-chain
+        MH, cross-chain trajectory-length/step-size adaptation."""
+        splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
+        new_keys, k_core = splits[:, 0], splits[:, 1][0]
+        lpg_b = jax.vmap(lambda x: self._logp_and_grad(params, x))
+        eps = current_step_size(adapt.step, warmup)
+        h = halton2(adapt.count)
+        traj_len = jnp.exp(adapt.log_T)
+        q_new, stats, (q_prop, v_prop, ap) = chees_transition_batched(
+            k_core, q, metric, eps, traj_len, h, lpg_b,
+            self._max_leapfrogs, self._max_change)
+        adapt = chees_adapt_update(
+            adapt, q, q_prop, v_prop, ap, h, eps, warmup,
+            self._target_accept, self._gamma, self._k, self._t_0,
+            self._adapt_step_size, self._adapt_traj_len, self._chees_lr,
+            self._max_leapfrogs)
+        shape = stats.accept_stat.shape
+        extras = {
+            'step_size': jnp.broadcast_to(jnp.exp(adapt.step.log_step),
+                                          shape),
+            'step_size_bar': jnp.broadcast_to(jnp.exp(adapt.step.log_bar),
+                                              shape),
+            'warmup': jnp.broadcast_to(warmup, shape)}
+        return new_keys, q_new, adapt, (stats, extras)
+
     def _build(self):
-        if self._algorithm in ('nuts', 'tnuts'):
+        if self._algorithm == 'chees':
+            batched = self._chees_step
+        elif self._algorithm in ('nuts', 'tnuts'):
             batched = self._batched_step
         else:
             metric_axis = None if self._pooled_metric else 0

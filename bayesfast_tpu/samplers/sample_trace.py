@@ -17,7 +17,7 @@ import jax
 from ..utils.random import get_generator
 
 __all__ = ['SampleTrace', 'NTrace', 'HTrace', 'TNTrace', 'THTrace', 'ETrace',
-           'TraceTuple', 'ChainTrace', 'StatsView', '_get_step_size',
+           'CTrace', 'TraceTuple', 'ChainTrace', 'StatsView', '_get_step_size',
            '_get_metric']
 
 
@@ -32,6 +32,10 @@ hstats_items = ('logp', 'energy', 'n_int_step', 'accept_stat', 'accepted',
 tnstats_items = ('u', 'weight') + nstats_items
 
 thstats_items = ('u', 'weight') + hstats_items
+
+cstats_items = ('logp', 'energy', 'n_int_step', 'accept_stat', 'accepted',
+                'traj_len', 'step_size', 'step_size_bar', 'warmup',
+                'energy_change', 'diverging')
 
 
 class StatsView:
@@ -372,6 +376,41 @@ class HTrace(_HTrace):
         return self.n_chain * (self.n_iter * (self.n_int_step + 1) + 1)
 
 
+class CTrace(_HTrace):
+    """Trace for ChEES-HMC — a TPU-native extension beyond the reference:
+    shared adaptive trajectory length tuned by cross-chain gradient ascent
+    (Hoffman, Radul & Sountsov 2021), so all chains run lockstep leapfrogs
+    with no tree bookkeeping. ``target_accept`` defaults to the paper's
+    0.651 (harmonic-mean acceptance of the shared step size)."""
+
+    _stats_items = cstats_items
+
+    def __init__(self, n_chain=4, n_iter=1500, n_warmup=500, x_0=None,
+                 random_generator=None, step_size=1., adapt_step_size=True,
+                 metric='diag', adapt_metric=True, max_change=1000.,
+                 traj_len_0=1., adapt_traj_len=True, max_leapfrogs=1024,
+                 chees_lr=0.025, target_accept=0.651, gamma=0.05, k=0.75,
+                 t_0=10., initial_mean=None, initial_weight=10.,
+                 adapt_window=60, update_window=1, doubling=True,
+                 pooled_metric=False):
+        super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
+                         step_size, adapt_step_size, metric, adapt_metric,
+                         max_change, target_accept, gamma, k, t_0,
+                         initial_mean, initial_weight, adapt_window,
+                         update_window, doubling, pooled_metric)
+        self.traj_len_0 = float(traj_len_0)
+        self.adapt_traj_len = bool(adapt_traj_len)
+        self.max_leapfrogs = int(max_leapfrogs)
+        self.chees_lr = float(chees_lr)
+
+    @property
+    def n_call(self):
+        """Total density calls across chains: every iteration evaluates the
+        density n_int_step times per chain, plus the initial state."""
+        ns = self._stats_arrays['n_int_step']
+        return int(np.sum(ns) + self.n_chain * (self.i_iter + 1))
+
+
 class NTrace(_HTrace):
     """Trace for NUTS (``sample_trace.py:499-537``)."""
 
@@ -578,6 +617,8 @@ class TraceTuple:
             return 'THMC'
         if isinstance(t, ETrace):
             return 'Ensemble'
+        if isinstance(t, CTrace):
+            return 'CHEES'
         if isinstance(t, NTrace):
             return 'NUTS'
         if isinstance(t, HTrace):

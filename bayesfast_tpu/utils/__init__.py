@@ -5,6 +5,7 @@ from .random import get_generator, set_generator, spawn_generator
 __all__ = ['random', 'sobol', 'get_generator', 'set_generator',
            'spawn_generator', 'all_isinstance', 'Laplace',
            'SystematicResampler', 'make_positive', 'integrated_time',
+           'effective_sample_size', 'rhat',
            'VariableDict', 'PropertyList']
 
 
@@ -14,6 +15,7 @@ def all_isinstance(iterable, class_or_tuple):
 
 
 from .misc import make_positive, SystematicResampler  # noqa: E402
-from .acor import integrated_time  # noqa: E402
+from .acor import integrated_time, effective_sample_size, \
+    rhat  # noqa: E402
 from .laplace import Laplace  # noqa: E402
 from .collections import VariableDict, PropertyList  # noqa: E402

@@ -10,7 +10,8 @@ import logging
 
 import numpy as np
 
-__all__ = ['integrated_time', 'effective_sample_size', 'AutocorrError']
+__all__ = ['integrated_time', 'effective_sample_size', 'rhat',
+           'AutocorrError']
 
 
 def next_pow_two(n):
@@ -105,3 +106,45 @@ def effective_sample_size(x, c=5, tol=50):
     tau = integrated_time(x, c=c, tol=tol, quiet=True)
     n_w, n_t, _ = x.shape
     return n_w * n_t / np.maximum(tau, 1.0)
+
+
+def rhat(x, split=True, rank_normalized=True):
+    """Potential-scale-reduction diagnostic (split-R-hat).
+
+    ``x`` has shape (n_chain, n_iter, dim) or (n_chain, n_iter); returns an
+    (dim,) array (or scalar for 2-d input). Implements the rank-normalized
+    split-R-hat of Vehtari et al. (2021): chains are split in half, values
+    are (optionally) replaced by normal scores of their pooled ranks, and
+    R-hat = sqrt((W (n-1)/n + B/n) / W) over the 2*n_chain half-chains.
+    Values close to 1 indicate convergence (< 1.01 is the usual threshold).
+
+    The reference ships no convergence diagnostic at all; this plus
+    ``effective_sample_size`` covers the standard post-sampling checks.
+    """
+    from scipy.special import ndtri as _ndtri
+
+    x = np.asarray(x, np.float64)
+    scalar_out = x.ndim == 2
+    if x.ndim == 2:
+        x = x[:, :, np.newaxis]
+    if x.ndim != 3:
+        raise ValueError('x should be (n_chain, n_iter, dim).')
+    m, n, d = x.shape
+    if split:
+        half = n // 2
+        if half < 2:
+            raise ValueError('need at least 4 iterations for split-rhat.')
+        x = np.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+        m, n = 2 * m, half
+    if rank_normalized:
+        flat = x.reshape(m * n, d)
+        ranks = np.argsort(np.argsort(flat, axis=0), axis=0) + 1.0
+        z = _ndtri((ranks - 0.375) / (m * n + 0.25))  # Blom offsets
+        x = z.reshape(m, n, d)
+    chain_mean = x.mean(axis=1)                    # (m, d)
+    chain_var = x.var(axis=1, ddof=1)              # (m, d)
+    W = chain_var.mean(axis=0)
+    B = n * chain_mean.var(axis=0, ddof=1)
+    var_plus = W * (n - 1) / n + B / n
+    out = np.sqrt(var_plus / np.maximum(W, 1e-300))
+    return float(out[0]) if scalar_out else out

@@ -134,3 +134,19 @@ def test_metric_variance_floor():
     for _ in range(130):  # beyond the first 60-sample window switch
         m = update_metric(m, x, True)
     assert np.all(np.asarray(m.var) > 0)
+
+
+def test_rhat():
+    from bayesfast_tpu.utils import rhat
+    rng = np.random.default_rng(0)
+    # well-mixed chains: rhat ~ 1
+    good = rng.normal(size=(4, 500, 3))
+    r = rhat(good)
+    assert r.shape == (3,)
+    assert np.all(r < 1.02)
+    # diverged means: rhat >> 1
+    bad = good.copy()
+    bad[0] += 5.0
+    assert np.all(rhat(bad) > 1.5)
+    # 2-d input gives a scalar
+    assert np.isscalar(rhat(good[:, :, 0]))
