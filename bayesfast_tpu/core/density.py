@@ -171,18 +171,29 @@ class DensityLite(_PipelineBase, _DensityBase):
         """Single-point logp in original space (traced)."""
         if not self._traceable:
             # external (non-traceable) likelihood: host callback; not
-            # differentiable — pair with surrogate sampling for gradients
+            # differentiable — pair with surrogate sampling for gradients.
+            # Under vmap the callback receives the whole batch at once
+            # (vmap_method='expand_dims') and rows are dispatched over the
+            # ParallelBackend thread pool, so N slow external calls overlap
+            # instead of running serially.
             import numpy as _np
 
             def host_fn(xv):
-                return _np.asarray(
-                    self._logp(_np.asarray(xv), *self._logp_args,
-                               **self._logp_kwargs),
-                    dtype=get_dtype()).reshape(())
+                xv = _np.asarray(xv)
+                one = lambda row: _np.asarray(
+                    self._logp(_np.asarray(row), *self._logp_args,
+                               **self._logp_kwargs), dtype=get_dtype())
+                if xv.ndim == 1:
+                    return one(xv).reshape(())
+                from ..utils.parallel import get_backend
+                lead = xv.shape[:-1]
+                rows = xv.reshape((-1, xv.shape[-1]))
+                vals = get_backend().map(one, list(rows))
+                return _np.asarray(vals, dtype=get_dtype()).reshape(lead)
 
             return jax.pure_callback(
                 host_fn, jax.ShapeDtypeStruct((), get_dtype()), x_o,
-                vmap_method='sequential')
+                vmap_method='expand_dims')
         if self._logp is not None:
             return jnp.reshape(jnp.asarray(
                 self._logp(x_o, *self._logp_args, **self._logp_kwargs)), ())

@@ -266,10 +266,15 @@ class Pipeline(_PipelineBase):
             return single(x), False
         flat = x.reshape((-1, x.shape[-1]))
         if self._has_external(use_surrogate):
-            # eager host loop: external modules run directly on host (no
-            # pure_callback under vmap — tunneled TPU backends lack host
-            # send/recv, and the reference farms these over a pool anyway)
-            outs = [single(flat[i]) for i in range(flat.shape[0])]
+            # external modules run eagerly on host (no pure_callback under
+            # vmap — tunneled TPU backends lack host send/recv), but
+            # concurrently: each point's evaluation is farmed over the
+            # ParallelBackend thread pool, mirroring the reference's
+            # 64-process DES pattern (``recipe.py:1085-1087``) for
+            # seconds-per-call external likelihoods.
+            from ..utils.parallel import get_backend
+            outs = get_backend().map(single,
+                                     [flat[i] for i in range(flat.shape[0])])
             out = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
         else:
             out = jax.vmap(single)(flat)

@@ -61,3 +61,43 @@ def test_external_densitylite_logp():
     x = np.array([[1.0, 2.0], [0.5, -0.5]])
     lp = den.logp(x, original_space=True)
     assert np.allclose(lp, [-2.5, -0.25])
+
+
+def test_external_evaluations_run_concurrently():
+    """N slow external calls must overlap (the 64-process DES pattern,
+    reference ``recipe.py:1085-1087``): wall time ~ 1 sleep, not N sleeps."""
+    import time
+
+    n, delay = 8, 0.25
+
+    def slow_model(x):
+        time.sleep(delay)
+        return np.array([float(np.sum(np.asarray(x) ** 2))])
+
+    m_mod = bf.Module(fun=slow_model, input_vars='x', output_vars='m',
+                      input_shapes=[3], output_shapes=[1], traceable=False)
+    lp_mod = bf.Module(fun=lambda m: -m[0], input_vars='m',
+                       output_vars='logp')
+    den = bf.Density(density_name='logp', module_list=[m_mod, lp_mod],
+                     input_vars='x', input_shapes=[3])
+    x = np.arange(3 * n, dtype=float).reshape(n, 3) * 0.1
+
+    t0 = time.perf_counter()
+    vds = den.fun(x, use_surrogate=False)
+    dt_pipeline = time.perf_counter() - t0
+    assert np.isclose(vds[1].fun['m'][0],
+                      float(np.sum((x[1]) ** 2)), rtol=1e-5)
+    assert dt_pipeline < n * delay * 0.5, \
+        f'pipeline external eval not concurrent: {dt_pipeline:.2f}s'
+
+    def slow_logp(x):
+        time.sleep(delay)
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    lite = bf.DensityLite(logp=slow_logp, input_size=3, traceable=False)
+    t0 = time.perf_counter()
+    lp = lite.logp(x, original_space=True)
+    dt_lite = time.perf_counter() - t0
+    assert np.allclose(lp, -0.5 * np.sum(x ** 2, axis=-1), rtol=1e-5)
+    assert dt_lite < n * delay * 0.5, \
+        f'DensityLite external eval not concurrent: {dt_lite:.2f}s'
