@@ -1,12 +1,14 @@
-"""Recipe: the multi-phase surrogate workflow orchestrator
-(``bayesfast/core/recipe.py``).
+"""Multi-phase surrogate workflow driver.
 
-OptimizeStep (fit -> Laplace -> iterate to convergence) -> SampleStep(s)
-(resample fit points -> refit -> NUTS on surrogate, warm-started) -> PostStep
-(importance sampling + evidence). Host-side control flow; all heavy lifting
-(true-model evaluation, surrogate fits, MCMC) happens in batched device
-programs. The reference's ``parallel_backend.map(density.fun, x)`` calls
-become single batched ``density.fun(x)`` evaluations.
+Behavioral parity target: ``bayesfast/core/recipe.py`` (OptimizeStep at
+:135, SampleStep at :254, PostStep at :408, Recipe at :717). The workflow is
+the reference's fit->sample->correct loop — optimize a surrogate to the MAP
+neighborhood with Laplace passes, alternate surrogate refits with NUTS runs,
+then importance-correct and estimate evidence — but the execution model is
+TPU-native: every ``parallel_backend.map(density.fun, x)`` in the reference
+is a single batched ``density.fun(x)`` here (device program for traceable
+models, thread-pooled host fan-out for external ones), and MCMC runs as one
+jitted multi-chain program instead of a process per chain.
 """
 
 from collections import namedtuple
@@ -31,35 +33,70 @@ __all__ = ['OptimizeStep', 'SampleStep', 'PostStep', 'StaticSample',
            'DynamicSample', 'RecipeTrace', 'Recipe']
 
 
-class _BaseStep:
-    """Shared config for OptimizeStep / SampleStep (``recipe.py:35-132``)."""
+# ---------------------------------------------------------------------------
+# config coercion helpers — dicts promote to config objects everywhere, the
+# same convention the reference applies via validating setters
+# ---------------------------------------------------------------------------
 
-    def __init__(self, surrogate_list=(), alpha_n=2, fitted=False,
-                 sample_trace=None, x_0=None, reuse_metric=True):
-        self.surrogate_list = surrogate_list
-        self.alpha_n = alpha_n
-        self.fitted = fitted
-        self.sample_trace = sample_trace
-        self.x_0 = x_0
-        self.reuse_metric = bool(reuse_metric)
+def _promote(spec, cls, what):
+    """None -> cls(), dict -> cls(**dict), cls instance passes through."""
+    if spec is None:
+        return cls()
+    if isinstance(spec, dict):
+        return cls(**spec)
+    if isinstance(spec, cls):
+        return spec
+    raise ValueError(f'cannot interpret {what}: expected None, a dict or a '
+                     f'{cls.__name__}, got {type(spec).__name__}.')
 
-    @property
-    def surrogate_list(self):
-        return self._surrogate_list
 
-    @surrogate_list.setter
-    def surrogate_list(self, sl):
-        if isinstance(sl, Surrogate):
-            sl = [sl]
-        self._surrogate_list = PropertyList(sl, self._sl_check)
+def _surrogate_tuple(sl):
+    """Validated PropertyList of Surrogates (single instance allowed)."""
+    if isinstance(sl, Surrogate):
+        sl = [sl]
 
-    @staticmethod
-    def _sl_check(sl):
-        for i, s in enumerate(sl):
+    def check(items):
+        for k, s in enumerate(items):
             if not isinstance(s, Surrogate):
-                raise ValueError(f'element #{i} of surrogate_list is not a '
-                                 'Surrogate')
-        return sl
+                raise ValueError(f'surrogate_list[{k}] is a '
+                                 f'{type(s).__name__}, not a Surrogate.')
+        return items
+
+    return PropertyList(sl, check)
+
+
+def _stack_logp(vds, density_name):
+    """Collect the named logp output across an array of VariableDicts."""
+    return np.concatenate([np.atleast_1d(vd.fun[density_name]) for vd in vds])
+
+
+# ---------------------------------------------------------------------------
+# phase configs
+# ---------------------------------------------------------------------------
+
+class _StepConfig:
+    """Options shared by the optimize and sample phases
+    (reference ``recipe.py:35-132``)."""
+
+    def __init__(self, surrogate_list=(), alpha_n=2., fitted=False,
+                 sample_trace=None, x_0=None, reuse_metric=True):
+        self._surrogate_list = _surrogate_tuple(surrogate_list)
+        self._alpha_n = float(alpha_n)
+        self._fitted = bool(fitted)
+        self._x_0 = None if x_0 is None else np.atleast_2d(x_0).copy()
+        self.reuse_metric = bool(reuse_metric)
+        if sample_trace is None or isinstance(sample_trace, dict):
+            sample_trace = NTrace(**(sample_trace or {}))
+        elif not isinstance(sample_trace, (SampleTrace, TraceTuple)):
+            raise ValueError('sample_trace should be None, a dict, a '
+                             'SampleTrace or a TraceTuple.')
+        self._sample_trace = sample_trace
+
+    surrogate_list = property(lambda self: self._surrogate_list)
+    alpha_n = property(lambda self: self._alpha_n)
+    fitted = property(lambda self: self._fitted)
+    x_0 = property(lambda self: self._x_0)
+    sample_trace = property(lambda self: self._sample_trace)
 
     @property
     def n_surrogate(self):
@@ -70,82 +107,36 @@ class _BaseStep:
         return self.n_surrogate > 0
 
     @property
-    def alpha_n(self):
-        return self._alpha_n
-
-    @alpha_n.setter
-    def alpha_n(self, a):
-        self._alpha_n = float(a)
-
-    @property
     def n_eval(self):
+        """Fit-point budget: alpha_n x the largest surrogate's n_param."""
         return int(self._alpha_n *
                    max(su.n_param for su in self._surrogate_list))
 
-    @property
-    def x_0(self):
-        return self._x_0
 
-    @x_0.setter
-    def x_0(self, x):
-        self._x_0 = None if x is None else np.atleast_2d(x).copy()
-
-    @property
-    def fitted(self):
-        return self._fitted
-
-    @fitted.setter
-    def fitted(self, f):
-        self._fitted = bool(f)
-
-    @property
-    def sample_trace(self):
-        return self._sample_trace
-
-    @sample_trace.setter
-    def sample_trace(self, t):
-        if t is None:
-            t = {}
-        if isinstance(t, dict):
-            t = NTrace(**t)
-        elif not isinstance(t, (SampleTrace, TraceTuple)):
-            raise ValueError('invalid value for sample_trace.')
-        self._sample_trace = t
-
-
-class OptimizeStep(_BaseStep):
-    """Optimization phase config (``recipe.py:135-251``)."""
+class OptimizeStep(_StepConfig):
+    """Config for the optimization phase (reference ``recipe.py:135-251``):
+    iterated surrogate refits around Laplace MAP estimates."""
 
     def __init__(self, surrogate_list=(), alpha_n=2., laplace=None,
                  eps_pp=0.1, eps_pq=0.1, max_iter=5, x_0=None, fitted=False,
                  run_sampling=True, sample_trace=None, reuse_metric=True):
         super().__init__(surrogate_list, alpha_n, fitted, sample_trace, x_0,
                          reuse_metric)
-        self.laplace = laplace
+        if laplace is None:
+            laplace = Laplace(beta=100.)
+        self.laplace = _promote(laplace, Laplace, 'laplace')
         self.eps_pp = float(eps_pp)
         self.eps_pq = float(eps_pq)
         self.max_iter = int(max_iter)
         self.run_sampling = bool(run_sampling)
-        if self.eps_pp <= 0 or self.eps_pq <= 0 or self.max_iter <= 0:
-            raise ValueError('invalid OptimizeStep thresholds.')
-
-    @property
-    def laplace(self):
-        return self._laplace
-
-    @laplace.setter
-    def laplace(self, lap):
-        if lap is None:
-            lap = {'beta': 100.}
-        if isinstance(lap, dict):
-            lap = Laplace(**lap)
-        elif not isinstance(lap, Laplace):
-            raise ValueError('invalid value for laplace.')
-        self._laplace = lap
+        if min(self.eps_pp, self.eps_pq) <= 0 or self.max_iter <= 0:
+            raise ValueError('eps_pp, eps_pq and max_iter must all be '
+                             'positive.')
 
 
-class SampleStep(_BaseStep):
-    """Sampling phase config (``recipe.py:254-405``)."""
+class SampleStep(_StepConfig):
+    """Config for one refit-and-sample round (reference
+    ``recipe.py:254-405``)."""
 
     def __init__(self, surrogate_list=(), alpha_n=2., sample_trace=None,
                  resampler=None, reuse_samples=0, reuse_step_size=True,
@@ -153,28 +144,21 @@ class SampleStep(_BaseStep):
                  alpha_supp=1.25, x_0=None, fitted=False):
         super().__init__(surrogate_list, alpha_n, fitted, sample_trace, x_0,
                          reuse_metric)
+        if resampler is None or isinstance(resampler, dict):
+            resampler = SystematicResampler(**(resampler or {}))
+        elif not callable(resampler):
+            raise ValueError('resampler should be None, a dict of '
+                             'SystematicResampler options, or a callable.')
         self.resampler = resampler
         self.reuse_samples = int(reuse_samples)
         self.reuse_step_size = bool(reuse_step_size)
         self.logp_cutoff = bool(logp_cutoff)
         self.alpha_min = float(alpha_min)
         self.alpha_supp = float(alpha_supp)
-        if not 0 < self.alpha_min <= 1 or self.alpha_supp <= 0:
-            raise ValueError('invalid alpha_min/alpha_supp.')
-
-    @property
-    def resampler(self):
-        return self._resampler
-
-    @resampler.setter
-    def resampler(self, rs):
-        if rs is None:
-            rs = {}
-        if isinstance(rs, dict):
-            rs = SystematicResampler(**rs)
-        elif not callable(rs):
-            raise ValueError('invalid value for resampler.')
-        self._resampler = rs
+        if not 0 < self.alpha_min <= 1:
+            raise ValueError('alpha_min should lie in (0, 1].')
+        if self.alpha_supp <= 0:
+            raise ValueError('alpha_supp should be positive.')
 
     @property
     def n_eval_min(self):
@@ -182,39 +166,41 @@ class SampleStep(_BaseStep):
 
 
 class PostStep:
-    """Post-processing config (``recipe.py:408-473``)."""
+    """Config for the post phase (reference ``recipe.py:408-473``):
+    importance reweighting plus optional evidence estimation."""
 
     def __init__(self, n_is=0, k_trunc=0.25, evidence_method=None):
         self.n_is = int(n_is)
         self.k_trunc = float(k_trunc)
-        self.evidence_method = evidence_method
+        self.evidence_method = self._resolve_evidence(evidence_method)
 
-    @property
-    def evidence_method(self):
-        return self._evidence_method
-
-    @evidence_method.setter
-    def evidence_method(self, em):
+    @staticmethod
+    def _resolve_evidence(em):
         if em is None:
-            pass
-        elif em in ('GBS', 'GIS', 'GHM') or isinstance(em, dict):
+            return None
+        if isinstance(em, str) or isinstance(em, dict):
             from ..evidence import GBS, GIS, GHM
-            if em == 'GIS':
-                em = GIS()
-            elif em == 'GHM':
-                em = GHM()
-            elif em == 'GBS':
-                em = GBS()
-            else:
-                em = GBS(**em)
-        elif hasattr(em, 'run') or callable(em):
-            pass
-        else:
-            raise ValueError('invalid value for evidence_method.')
-        self._evidence_method = em
+            table = {'GBS': GBS, 'GIS': GIS, 'GHM': GHM}
+            if isinstance(em, dict):
+                return GBS(**em)
+            if em in table:
+                return table[em]()
+            raise ValueError(f'unknown evidence method name {em!r}; choose '
+                             'from GBS / GIS / GHM or pass a callable.')
+        if hasattr(em, 'run') or callable(em):
+            return em
+        raise ValueError('evidence_method should be a name, an options dict, '
+                         'an estimator object or a callable.')
 
+
+# ---------------------------------------------------------------------------
+# sample-phase scheduling strategies
+# ---------------------------------------------------------------------------
 
 class _SampleStrategy:
+    """Decides which SampleStep (if any) runs next, given the results so
+    far (reference ``recipe.py:476-486``)."""
+
     def __init__(self):
         self._i = 0
 
@@ -227,69 +213,75 @@ class _SampleStrategy:
 
 
 class StaticSample(_SampleStrategy):
-    """Fixed list of SampleSteps, optionally repeated
-    (``recipe.py:489-568``)."""
+    """Run a predetermined list of SampleSteps, each optionally repeated
+    (reference ``recipe.py:489-568``)."""
 
     def __init__(self, sample_steps=None, repeat=None, verbose=True):
         super().__init__()
         if repeat is not None:
-            if not hasattr(sample_steps, '__iter__'):
-                warnings.warn('repeat is ignored since sample_steps is not '
-                              'iterable.', RuntimeWarning)
-            else:
-                try:
-                    sample_steps = [x for i, x in enumerate(sample_steps)
-                                    for _ in range(repeat[i])]
-                except Exception:
-                    warnings.warn('repeat is ignored since I failed to '
-                                  'interpret it.', RuntimeWarning)
-        self.sample_steps = sample_steps
+            sample_steps = self._expand_repeat(sample_steps, repeat)
+        self._sample_steps = self._coerce_steps(sample_steps)
         self.verbose = bool(verbose)
+
+    @staticmethod
+    def _expand_repeat(steps, repeat):
+        if not hasattr(steps, '__iter__'):
+            warnings.warn('repeat only applies when sample_steps is a '
+                          'sequence; dropping it.', RuntimeWarning)
+            return steps
+        try:
+            return [s for k, s in enumerate(steps) for _ in range(repeat[k])]
+        except Exception:
+            warnings.warn('could not apply the repeat counts to '
+                          'sample_steps; dropping repeat.', RuntimeWarning)
+            return steps
+
+    @staticmethod
+    def _coerce_steps(steps):
+        if steps is None:
+            return ()
+        if isinstance(steps, (SampleStep, dict)):
+            steps = [steps]
+        elif not (all_isinstance(steps, (SampleStep, dict)) and
+                  len(steps) > 0):
+            raise ValueError('sample_steps should be a SampleStep, an '
+                             'options dict, or a non-empty sequence of '
+                             'those.')
+        return tuple(SampleStep(**deepcopy(s)) if isinstance(s, dict)
+                     else deepcopy(s) for s in steps)
 
     @property
     def sample_steps(self):
         return self._sample_steps
-
-    @sample_steps.setter
-    def sample_steps(self, steps):
-        if isinstance(steps, SampleStep):
-            self._sample_steps = (deepcopy(steps),)
-        elif steps is None:
-            self._sample_steps = ()
-        elif isinstance(steps, dict):
-            self._sample_steps = (SampleStep(**deepcopy(steps)),)
-        elif all_isinstance(steps, (SampleStep, dict)) and len(steps) > 0:
-            built = []
-            for s in steps:
-                s = deepcopy(s)
-                built.append(SampleStep(**s) if isinstance(s, dict) else s)
-            self._sample_steps = tuple(built)
-        else:
-            raise ValueError('invalid value for sample_steps.')
 
     @property
     def n_step(self):
         return len(self._sample_steps)
 
     def update(self, sample_results):
-        i_step = len(sample_results)
-        if i_step < self.n_step:
+        k = len(sample_results)
+        if k < self.n_step:
             if self.verbose:
-                print(f'\n *** StaticSample: returning the #{i_step} '
-                      'SampleStep. *** \n')
-            return deepcopy(self._sample_steps[i_step])
+                print(f'\n *** StaticSample: scheduling SampleStep #{k} of '
+                      f'{self.n_step}. *** \n')
+            return deepcopy(self._sample_steps[k])
         if self.verbose:
-            print(f'\n *** StaticSample: iter #{i_step}, no more SampleStep. '
-                  '*** \n')
+            print(f'\n *** StaticSample: all {self.n_step} SampleStep(s) '
+                  'consumed; sample phase complete. *** \n')
         return None
 
 
 class DynamicSample(_SampleStrategy):
-    """Not implemented in the reference either (``recipe.py:571-574``)."""
+    """Adaptive scheduling; unimplemented in the reference as well
+    (``recipe.py:571-574``)."""
 
     def __init__(self, *args):
         raise NotImplementedError
 
+
+# ---------------------------------------------------------------------------
+# result records (field names are part of the public API)
+# ---------------------------------------------------------------------------
 
 RecipePhases = namedtuple('RecipePhases', 'optimize, sample, post')
 
@@ -310,42 +302,39 @@ PostResult = namedtuple('PostResult', 'samples, weights, weights_trunc, logp, '
                         'trace_p, trace_q, n_call, x_max, f_max')
 
 
+# ---------------------------------------------------------------------------
+# phase bookkeeping
+# ---------------------------------------------------------------------------
+
 class RecipeTrace:
-    """Phase bookkeeping for a Recipe run (``recipe.py:580-692``)."""
+    """Records the configured steps, the accumulated results, and how far
+    each phase has progressed (reference ``recipe.py:580-692``). A Recipe
+    resumes by rerunning only the unfinished phases."""
 
     def __init__(self, optimize=None, sample=None, post=None,
                  sample_repeat=None):
-        if isinstance(optimize, OptimizeStep) or optimize is None:
+        if optimize is None or isinstance(optimize, OptimizeStep):
             self._s_optimize = deepcopy(optimize)
         elif isinstance(optimize, dict):
             self._s_optimize = OptimizeStep(**deepcopy(optimize))
         else:
-            raise ValueError('invalid value for optimize.')
+            raise ValueError('optimize should be None, a dict or an '
+                             'OptimizeStep.')
 
         if isinstance(sample, _SampleStrategy):
             self._strategy = sample
         else:
             self._strategy = StaticSample(sample, sample_repeat)
-
         self._s_sample = []
 
-        if post is None:
-            post = {}
-        if isinstance(post, PostStep):
-            self._s_post = deepcopy(post)
-        elif isinstance(post, dict):
-            self._s_post = PostStep(**deepcopy(post))
-        else:
-            raise ValueError('invalid value for post.')
+        # post=None still builds a default PostStep (reference convention:
+        # the post phase always runs unless explicitly disabled downstream)
+        self._s_post = _promote({} if post is None else post, PostStep,
+                                'post')
 
         self._r_optimize = []
         self._r_sample = []
         self._r_post = None
-
-        self._n_optimize = 0 if self._s_optimize is None else 1
-        self._n_sample = self._strategy.n_step
-        self._n_post = 0 if self._s_post is None else 1
-
         self._i_optimize = 0
         self._i_sample = 0
         self._i_post = 0
@@ -366,39 +355,45 @@ class RecipeTrace:
 
     @property
     def i(self):
+        """Completed units per phase."""
         return RecipePhases(self._i_optimize, self._i_sample, self._i_post)
 
     @property
     def n(self):
-        return RecipePhases(self._n_optimize, self._n_sample, self._n_post)
-
-    @property
-    def n_call(self):
-        """True-model call count (``recipe.py:665-682``)."""
-        if self._r_post is None:
-            n = 0
-            for opt in self._r_optimize:
-                if len(opt.surrogate_list) > 0 and opt.var_dicts is not None:
-                    n += len(opt.var_dicts)
-                else:
-                    raise NotImplementedError
-            for sam in self._r_sample:
-                if len(sam.surrogate_list) > 0 and sam.var_dicts is not None:
-                    n += len(sam.var_dicts)
-                else:
-                    raise NotImplementedError
-            return n
-        return self._r_post.n_call
+        """Planned units per phase."""
+        return RecipePhases(0 if self._s_optimize is None else 1,
+                            self._strategy.n_step,
+                            0 if self._s_post is None else 1)
 
     @property
     def finished(self):
-        return RecipePhases(self._i_optimize == self._n_optimize,
-                            self._i_sample == self._n_sample,
-                            self._i_post == self._n_post)
+        n = self.n
+        return RecipePhases(self._i_optimize == n.optimize,
+                            self._i_sample == n.sample,
+                            self._i_post == n.post)
 
+    @property
+    def n_call(self):
+        """Cumulative true-model evaluations (reference
+        ``recipe.py:665-682``). Exact only when every step used surrogates
+        (otherwise the true-model calls inside MCMC are not tallied)."""
+        if self._r_post is not None:
+            return self._r_post.n_call
+        total = 0
+        for res in (*self._r_optimize, *self._r_sample):
+            if len(res.surrogate_list) == 0 or res.var_dicts is None:
+                raise NotImplementedError
+            total += len(res.var_dicts)
+        return total
+
+
+# ---------------------------------------------------------------------------
+# the driver
+# ---------------------------------------------------------------------------
 
 class Recipe:
-    """The full surrogate-sampling workflow (``recipe.py:717-1367``)."""
+    """End-to-end surrogate workflow (reference ``recipe.py:717-1367``):
+    optimize -> sample round(s) -> post."""
 
     def __init__(self, density, parallel_backend=None, recipe_trace=None,
                  optimize=None, sample=None, post=None, sample_repeat=None,
@@ -406,15 +401,18 @@ class Recipe:
         if not isinstance(density, (Density, DensityLite)):
             raise ValueError('density should be a Density or DensityLite.')
         self._density = deepcopy(density) if copy_density else density
-        self._parallel_backend = parallel_backend  # accepted, unused (mesh)
+        # accepted for reference API compatibility; device parallelism is
+        # configured through the mesh instead
+        self._parallel_backend = parallel_backend
 
         if recipe_trace is None:
             recipe_trace = RecipeTrace(optimize, sample, post, sample_repeat)
         elif isinstance(recipe_trace, dict):
             recipe_trace = RecipeTrace(**recipe_trace)
         elif not isinstance(recipe_trace, RecipeTrace):
-            raise ValueError('recipe_trace should be a RecipeTrace or None.')
-        self._recipe_trace = recipe_trace
+            raise ValueError('recipe_trace should be None, a dict or a '
+                             'RecipeTrace.')
+        self._trace = recipe_trace
 
     @property
     def density(self):
@@ -422,521 +420,534 @@ class Recipe:
 
     @property
     def recipe_trace(self):
-        return self._recipe_trace
+        return self._trace
 
-    # ---------------- optimize phase ----------------
+    # -- true-model evaluation (batched; device or thread-pooled host) -----
 
-    def _map_fun(self, x):
-        """Batched true-model evaluation (replaces the reference's process
-        pool map, ``recipe.py:867-868``)."""
+    def _eval_true(self, x):
+        """Evaluate the true (un-surrogated) model at a batch of points.
+        Plays the role of the reference's pool map (``recipe.py:867-868``)."""
         vds = self.density.fun(np.asarray(x), original_space=True,
                                use_surrogate=False)
         return np.atleast_1d(vds)
 
-    def _opt_surro(self, x_0, var_dicts):
-        step = self.recipe_trace._s_optimize
-        result = self.recipe_trace._r_optimize
+    def _true_logp(self, x):
+        return self.density.logp(x, original_space=True, use_surrogate=False)
 
-        _logp = lambda x: float(self.density.logp(
-            x, original_space=False, use_surrogate=True))
-        _grad = lambda x: np.asarray(self.density.grad(
-            x, original_space=False, use_surrogate=True), np.float64)
-        traceable = self.density.device_logp(original_space=False,
-                                             use_surrogate=True)
-        x_start = self.density.from_original(x_0[0])
-        laplace_result = step.laplace.run(logp=_logp, x_0=x_start, grad=_grad,
-                                          traceable=traceable)
+    def _surro_logp(self, x):
+        return self.density.logp(x, original_space=True, use_surrogate=True)
 
-        x_trans = laplace_result.x_max
-        x = self.density.to_original(x_trans)
-        x_max = PointDoublet(x, x_trans)
+    # ------------------------- optimize phase -----------------------------
 
-        logp = self.density.logp(x, original_space=True, use_surrogate=False)
-        logp_trans = self.density.from_original_density(density=logp, x=x)
-        logq_trans = laplace_result.f_max
-        logq = self.density.to_original_density(density=logq_trans, x=x)
-        f_max = DensityQuartet(float(logp), float(logq), float(logp_trans),
-                               float(logq_trans))
+    def _laplace_pass(self, step, x_0, var_dicts):
+        """One Laplace pass on the current surrogate; records an
+        OptimizeResult (reference ``recipe.py:799-827``)."""
+        den = self.density
+        lap_res = step.laplace.run(
+            logp=lambda x: float(den.logp(x, original_space=False,
+                                          use_surrogate=True)),
+            x_0=den.from_original(x_0[0]),
+            grad=lambda x: np.asarray(den.grad(x, original_space=False,
+                                               use_surrogate=True),
+                                      np.float64),
+            traceable=den.device_logp(original_space=False,
+                                      use_surrogate=True))
 
-        laplace_samples = self.density.to_original(laplace_result.samples)
-        surrogate_list = deepcopy(list(self.density._surrogate_list))
-        result.append(OptimizeResult(
-            x_max=x_max, f_max=f_max, surrogate_list=surrogate_list,
-            var_dicts=var_dicts, laplace_samples=laplace_samples,
-            laplace_result=laplace_result, samples=None, sample_trace=None))
+        x_trans = lap_res.x_max
+        x = den.to_original(x_trans)
+        logp = den.logp(x, original_space=True, use_surrogate=False)
+        logp_trans = den.from_original_density(density=logp, x=x)
+        logq_trans = lap_res.f_max
+        logq = den.to_original_density(density=logq_trans, x=x)
+
+        self._trace._r_optimize.append(OptimizeResult(
+            x_max=PointDoublet(x, x_trans),
+            f_max=DensityQuartet(float(logp), float(logq),
+                                 float(logp_trans), float(logq_trans)),
+            surrogate_list=deepcopy(list(den._surrogate_list)),
+            var_dicts=var_dicts,
+            laplace_samples=den.to_original(lap_res.samples),
+            laplace_result=lap_res, samples=None, sample_trace=None))
+
+    def _initial_fit_points(self, step):
+        """Fit points for optimize iteration #0 (reference
+        ``recipe.py:845-864``)."""
+        if step.x_0 is None:
+            dim = self.density.input_size
+            return multivariate_normal(np.zeros(dim), np.eye(dim),
+                                       step.n_eval)
+        if step.n_eval <= 0:
+            return step.x_0.copy()
+        if step.x_0.shape[0] < step.n_eval:
+            raise RuntimeError(
+                f'the surrogate fit wants n_eval = {step.n_eval} points but '
+                f'x_0 supplies only {step.x_0.shape[0]}.')
+        return step.x_0[:step.n_eval].copy()
+
+    def _select_best_pass(self, results, verbose):
+        """Keep the Laplace pass with the highest logp_trans, breaking ties
+        by the smallest |logp_trans - logq_trans| (reference
+        ``recipe.py:908-920``)."""
+        lp = np.asarray([r.f_max.logp_trans for r in results])
+        best = np.where(lp == lp.max())[0]
+        if best.size > 1:
+            lq = np.asarray([r.f_max.logq_trans for r in results])
+            best = best[np.argmin(np.abs(lp - lq)[best])]
+        else:
+            best = best[0]
+        results.append(results[best])
+        if verbose:
+            print(f' OptimizeStep: keeping pass #{best} (highest '
+                  'logp_trans).\n')
 
     def _opt_step(self, verbose=True):
-        step = self.recipe_trace._s_optimize
-        result = self.recipe_trace._r_optimize
-        recipe_trace = self.recipe_trace
+        step = self._trace._s_optimize
+        results = self._trace._r_optimize
 
         if step.has_surrogate:
             if isinstance(self._density, DensityLite):
-                raise RuntimeError('self.density should be a Density, instead '
-                                   'of DensityLite, for surrogate modeling.')
-            self._density.surrogate_list = list(step._surrogate_list)
+                raise RuntimeError('surrogate fitting needs a Density (a '
+                                   'module pipeline); DensityLite has no '
+                                   'fit targets.')
+            self._density.surrogate_list = list(step.surrogate_list)
 
             if step.fitted:
                 x_0 = (np.zeros(self.density.input_size) if step.x_0 is None
                        else step.x_0.copy())
                 var_dicts = None
             else:
-                if step.x_0 is None:
-                    dim = self.density.input_size
-                    x_0 = multivariate_normal(np.zeros(dim), np.eye(dim),
-                                              step.n_eval)
-                else:
-                    if step.n_eval > 0:
-                        if step.x_0.shape[0] < step.n_eval:
-                            raise RuntimeError(
-                                f'I need {step.n_eval} points to fit the '
-                                'surrogate model, but you only gave me '
-                                f'{step.x_0.shape[0]} points in x_0.')
-                        x_0 = step.x_0[:step.n_eval].copy()
-                    else:
-                        x_0 = step.x_0.copy()
-                var_dicts = self._map_fun(x_0)
+                x_0 = self._initial_fit_points(step)
+                var_dicts = self._eval_true(x_0)
                 self.density.fit(var_dicts)
-            self._opt_surro(x_0, var_dicts)
-            _a = result[-1].f_max
-            _pq = _a.logp_trans - _a.logq_trans
+            self._laplace_pass(step, x_0, var_dicts)
+            f = results[-1].f_max
             if verbose:
-                print(' OptimizeStep proceeding: iter #0 finished, while '
-                      f'current logp = {_a.logp:.3f}, logp_trans = '
-                      f'{_a.logp_trans:.3f}, delta_pq = {_pq:.3f}.')
+                print(' OptimizeStep: pass #0 done; logp = '
+                      f'{f.logp:.3f}, logp_trans = {f.logp_trans:.3f}, '
+                      f'delta_pq = {f.logp_trans - f.logq_trans:.3f}.')
 
-            for i in range(1, step.max_iter):
+            for k in range(1, step.max_iter):
                 if step.n_eval <= 0:
-                    raise RuntimeError('alpha_n should be positive if '
-                                       'max_iter is larger than 1.')
-                x_0 = result[-1].laplace_samples
+                    raise RuntimeError('iterated refits (max_iter > 1) need '
+                                       'a positive n_eval, i.e. a positive '
+                                       'alpha_n.')
+                x_0 = results[-1].laplace_samples
                 if x_0.shape[0] < step.n_eval:
                     raise RuntimeError(
-                        f'I need {step.n_eval} points to fit the surrogate '
-                        f'model, but I can only get {x_0.shape[0]} points '
-                        'from the previous iteration.')
+                        f'the refit wants n_eval = {step.n_eval} points but '
+                        f'the previous Laplace pass produced only '
+                        f'{x_0.shape[0]}.')
                 x_0 = x_0[:step.n_eval].copy()
-                var_dicts = self._map_fun(x_0)
+                var_dicts = self._eval_true(x_0)
                 self.density.fit(var_dicts)
-                self._opt_surro(x_0, var_dicts)
-                _a = result[-1].f_max
-                _b = result[-2].f_max
-                _pp = _a.logp_trans - _b.logp_trans
-                _pq = _a.logp_trans - _a.logq_trans
+                self._laplace_pass(step, x_0, var_dicts)
+                f, f_prev = results[-1].f_max, results[-2].f_max
+                d_pp = f.logp_trans - f_prev.logp_trans
+                d_pq = f.logp_trans - f.logq_trans
                 if verbose:
-                    print(f' OptimizeStep proceeding: iter #{i} finished, '
-                          f'while current logp = {_a.logp:.3f}, logp_trans = '
-                          f'{_a.logp_trans:.3f}, delta_pp = {_pp:.3f}, '
-                          f'delta_pq = {_pq:.3f}.')
-                if (abs(_pp) < step.eps_pp) and (abs(_pq) < step.eps_pq):
+                    print(f' OptimizeStep: pass #{k} done; logp = '
+                          f'{f.logp:.3f}, logp_trans = {f.logp_trans:.3f}, '
+                          f'delta_pp = {d_pp:.3f}, delta_pq = {d_pq:.3f}.')
+                if abs(d_pp) < step.eps_pp and abs(d_pq) < step.eps_pq:
                     break
-                if i == step.max_iter - 1:
-                    warnings.warn('Optimization did not converge within the '
-                                  'max number of iterations.', RuntimeWarning)
+                if k == step.max_iter - 1:
+                    warnings.warn('OptimizeStep hit max_iter before the '
+                                  'delta_pp / delta_pq tolerances were met.',
+                                  RuntimeWarning)
 
-            # pick the iteration with max logp_trans (``recipe.py:908-920``)
-            logp_trans_all = np.asarray([r.f_max.logp_trans for r in result])
-            is_max = np.where(logp_trans_all == np.max(logp_trans_all))[0]
-            if is_max.size == 1:
-                i_max = is_max[0]
-            else:
-                logq_trans_all = np.asarray(
-                    [r.f_max.logq_trans for r in result])
-                diff_all = np.abs(logp_trans_all - logq_trans_all)
-                i_max = is_max[np.argmin(diff_all[is_max])]
-            result.append(result[i_max])
-            if verbose:
-                print(f' OptimizeStep proceeding: we will use iter #{i_max} '
-                      'as it has the highest logp_trans.\n')
+            self._select_best_pass(results, verbose)
 
         else:
+            # no surrogate: Laplace directly on the (true) density
             if step.x_0 is None:
                 dim = self.density.input_size
                 if dim is None:
-                    raise RuntimeError('Neither OptimizeStep.x_0 nor Density'
-                                       '/DensityLite.input_size is defined.')
-                x_0 = np.zeros(dim)
+                    raise RuntimeError('cannot choose a starting point: give '
+                                       'OptimizeStep an x_0 or the density '
+                                       'an input_size.')
+                x_start = np.zeros(dim)
             else:
-                x_0 = self.density.from_original(step.x_0[0])
-            _logp = lambda x: float(self.density.logp(x, original_space=False))
-            traceable = self.density.device_logp(original_space=False,
-                                                 use_surrogate=False)
-            laplace_result = step.laplace.run(logp=_logp, x_0=x_0,
-                                              traceable=traceable)
-            x_trans = laplace_result.x_max
-            x = self.density.to_original(x_trans)
-            x_max = PointDoublet(x, x_trans)
-            logp_trans = laplace_result.f_max
-            logp = self.density.to_original_density(density=logp_trans,
-                                                    x=x_max.x)
-            f_max = DensityQuartet(float(logp), None, float(logp_trans), None)
-            laplace_samples = self.density.to_original(laplace_result.samples)
-            result.append(OptimizeResult(
-                x_max=x_max, f_max=f_max, surrogate_list=(), var_dicts=None,
-                laplace_samples=laplace_samples,
-                laplace_result=laplace_result, samples=None,
-                sample_trace=None))
+                x_start = self.density.from_original(step.x_0[0])
+            lap_res = step.laplace.run(
+                logp=lambda x: float(self.density.logp(
+                    x, original_space=False)),
+                x_0=x_start,
+                traceable=self.density.device_logp(original_space=False,
+                                                   use_surrogate=False))
+            x = self.density.to_original(lap_res.x_max)
+            logp_trans = lap_res.f_max
+            logp = self.density.to_original_density(density=logp_trans, x=x)
+            results.append(OptimizeResult(
+                x_max=PointDoublet(x, lap_res.x_max),
+                f_max=DensityQuartet(float(logp), None, float(logp_trans),
+                                     None),
+                surrogate_list=(), var_dicts=None,
+                laplace_samples=self.density.to_original(lap_res.samples),
+                laplace_result=lap_res, samples=None, sample_trace=None))
 
         if step.has_surrogate and step.run_sampling:
             self._opt_sample()
-        recipe_trace._i_optimize = 1
+        self._trace._i_optimize = 1
         if verbose:
             print('\n ***** OptimizeStep finished. ***** \n')
 
     def _opt_sample(self):
-        step = self.recipe_trace._s_optimize
-        result = self.recipe_trace._r_optimize
-        sample_trace = step.sample_trace
+        """Sample the surrogate selected by the optimize phase (reference
+        ``recipe.py:962-984``)."""
+        step = self._trace._s_optimize
+        results = self._trace._r_optimize
+        trace = step.sample_trace
 
-        if sample_trace.x_0 is None:
-            sample_trace.x_0 = result[-1].laplace_samples
-            sample_trace._x_0_transformed = False
-        if step.reuse_metric:
-            cov = result[-1].laplace_result.cov.copy()
-            if isinstance(sample_trace._metric, str):
-                if sample_trace._metric == 'diag':
-                    sample_trace._metric = np.diag(cov)
-                elif sample_trace._metric == 'full':
-                    sample_trace._metric = cov
+        if trace.x_0 is None:
+            trace.x_0 = results[-1].laplace_samples
+            trace._x_0_transformed = False
+        if step.reuse_metric and isinstance(trace._metric, str):
+            cov = results[-1].laplace_result.cov.copy()
+            if trace._metric == 'diag':
+                trace._metric = np.diag(cov)
+            elif trace._metric == 'full':
+                trace._metric = cov
 
-        self._density.surrogate_list = list(result[-1].surrogate_list)
+        self._density.surrogate_list = list(results[-1].surrogate_list)
         self._density.use_surrogate = True
-        t = sample(self.density, sample_trace=sample_trace)
-        x = t.get(flatten=True)
-        result[-1] = result[-1]._replace(samples=x, sample_trace=t)
-        print('\n *** Finished sampling the surrogate density defined by the '
-              'selected OptimizeStep. *** \n')
+        tt = sample(self.density, sample_trace=trace)
+        results[-1] = results[-1]._replace(samples=tt.get(flatten=True),
+                                           sample_trace=tt)
+        print('\n *** OptimizeStep: sampled the selected surrogate '
+              'density. *** \n')
 
-    # ---------------- sample phase ----------------
+    # ------------------------- sample phase -------------------------------
+
+    def _prev_context(self, k, this_step):
+        """Locate the preceding step/result pair and extract warm-start
+        samples and (if available) their surrogate logq values (reference
+        ``recipe.py:1000-1026``)."""
+        rt = self._trace
+        have_prev = not (k == 0 and not rt._i_optimize)
+        prev_step = prev_result = None
+        if have_prev:
+            if k == 0:
+                prev_step, prev_result = rt._s_optimize, rt._r_optimize[-1]
+            else:
+                prev_step = rt._s_sample[k - 1]
+                prev_result = rt._r_sample[k - 1]
+
+        samples, transformed = None, False
+        if have_prev or this_step.x_0 is not None:
+            if this_step.x_0 is not None:
+                samples = this_step.x_0
+            elif prev_result.samples is not None:
+                samples = prev_result.samples
+            else:
+                samples = Laplace.untemper_laplace_samples(
+                    prev_result.laplace_result)
+                transformed = True
+
+        density = None
+        if (have_prev and this_step.x_0 is None and
+                prev_step.sample_trace is not None):
+            density = prev_result.sample_trace.get(return_type='logp',
+                                                   flatten=True)
+        return prev_step, prev_result, samples, transformed, density
+
+    @staticmethod
+    def _warm_start(trace, this_step, prev_result, samples, transformed):
+        """Carry x_0 / step size / metric over from the previous step
+        (reference ``recipe.py:1027-1044``)."""
+        if trace.x_0 is None and samples is not None:
+            trace.x_0 = samples
+            trace._x_0_transformed = transformed
+        if prev_result is None or prev_result.sample_trace is None:
+            return
+        if trace._step_size is None and this_step.reuse_step_size:
+            trace._step_size = _get_step_size(prev_result.sample_trace)
+        if isinstance(trace._metric, str) and this_step.reuse_metric:
+            trace._metric = _get_metric(prev_result.sample_trace,
+                                        trace._metric)
+
+    def _pick_fit_points(self, this_step, samples, density):
+        """Choose refit points from the previous step's samples (reference
+        ``recipe.py:1073-1082``)."""
+        if density is not None:
+            return this_step.resampler(density, this_step.n_eval)
+        if this_step.n_eval > 0:
+            return np.arange(this_step.n_eval)
+        return np.arange(samples.shape[0])
 
     def _sam_step(self):
-        steps = self.recipe_trace._s_sample
-        results = self.recipe_trace._r_sample
-        recipe_trace = self.recipe_trace
-
-        i = recipe_trace._i_sample
-        this_step = recipe_trace._strategy.update(results)
+        rt = self._trace
+        k = rt._i_sample
+        this_step = rt._strategy.update(rt._r_sample)
 
         while this_step is not None:
-            sample_trace = this_step.sample_trace
-            get_prev_step = not (i == 0 and not recipe_trace._i_optimize)
-            get_prev_samples = get_prev_step or (this_step.x_0 is not None)
+            trace = this_step.sample_trace
+            (prev_step, prev_result, prev_samples, prev_transformed,
+             prev_density) = self._prev_context(k, this_step)
 
-            prev_result = prev_step = None
-            if get_prev_step:
-                if i == 0:
-                    prev_result = recipe_trace._r_optimize[-1]
-                    prev_step = recipe_trace._s_optimize
-                else:
-                    prev_result = results[i - 1]
-                    prev_step = steps[i - 1]
-
-            get_prev_density = (get_prev_step and this_step.x_0 is None and
-                                prev_step.sample_trace is not None)
-
-            prev_samples = None
-            prev_transformed = False
-            if get_prev_samples:
-                if this_step.x_0 is None:
-                    if prev_result.samples is None:
-                        prev_samples = Laplace.untemper_laplace_samples(
-                            prev_result.laplace_result)
-                        prev_transformed = True
-                    else:
-                        prev_samples = prev_result.samples
-                        prev_transformed = False
-                else:
-                    prev_samples = this_step.x_0
-                    prev_transformed = False
-
-            prev_density = None
-            if get_prev_density:
-                prev_density = prev_result.sample_trace.get(
-                    return_type='logp', flatten=True)
-
-            if isinstance(sample_trace, _HTrace):
-                if sample_trace.x_0 is None and get_prev_samples:
-                    sample_trace.x_0 = prev_samples
-                    sample_trace._x_0_transformed = prev_transformed
-                if get_prev_step:
-                    if sample_trace._step_size is None:
-                        if (this_step.reuse_step_size and
-                                prev_result.sample_trace is not None):
-                            sample_trace._step_size = _get_step_size(
-                                prev_result.sample_trace)
-                    if isinstance(sample_trace._metric, str):
-                        if (this_step.reuse_metric and
-                                prev_result.sample_trace is not None):
-                            sample_trace._metric = _get_metric(
-                                prev_result.sample_trace,
-                                sample_trace._metric)
+            if isinstance(trace, _HTrace):
+                self._warm_start(trace, this_step, prev_result, prev_samples,
+                                 prev_transformed)
 
             if this_step.has_surrogate:
                 if not isinstance(self._density, Density):
-                    raise RuntimeError('self.density should be a Density for '
-                                       'surrogate modeling.')
-                self._density.surrogate_list = list(this_step._surrogate_list)
+                    raise RuntimeError('surrogate fitting needs a Density '
+                                       '(a module pipeline).')
+                self._density.surrogate_list = list(this_step.surrogate_list)
 
-                if this_step.fitted:
-                    var_dicts = None
-                else:
-                    if not get_prev_samples:
-                        raise RuntimeError('You did not give me samples to '
-                                           'fit the surrogate model.')
+                var_dicts = None
+                if not this_step.fitted:
+                    if prev_samples is None:
+                        raise RuntimeError('no points available to fit the '
+                                           'surrogate: provide x_0 or run a '
+                                           'previous step first.')
                     if (this_step.n_eval > 0 and
                             prev_samples.shape[0] < this_step.n_eval):
                         raise RuntimeError(
-                            f'I need {this_step.n_eval} points to fit the '
-                            'surrogate model, but I can find at most '
-                            f'{prev_samples.shape[0]} points.')
-                    if i > 0 and not prev_step.has_surrogate:
-                        warnings.warn(
-                            'you are doing surrogate modeling after sampling '
-                            'the true density. Please make sure this is what '
-                            'you want.', RuntimeWarning)
+                            f'the surrogate fit wants n_eval = '
+                            f'{this_step.n_eval} points but only '
+                            f'{prev_samples.shape[0]} are available.')
+                    if k > 0 and not prev_step.has_surrogate:
+                        warnings.warn('fitting a surrogate from samples of '
+                                      'the true density: the usual flow is '
+                                      'the reverse; double-check the recipe '
+                                      'ordering.', RuntimeWarning)
 
-                    if get_prev_density:
-                        i_resample = this_step.resampler(prev_density,
-                                                         this_step.n_eval)
-                    else:
-                        if this_step.n_eval > 0:
-                            i_resample = np.arange(this_step.n_eval)
-                        else:
-                            i_resample = np.arange(prev_samples.shape[0])
-
-                    x_fit = prev_samples[i_resample]
-                    var_dicts = self._map_fun(x_fit)
+                    i_fit = self._pick_fit_points(this_step, prev_samples,
+                                                  prev_density)
+                    var_dicts = self._eval_true(prev_samples[i_fit])
                     var_dicts_fit = var_dicts.copy()
 
                     if this_step.reuse_samples:
-                        for j in range(i):
-                            if (j + this_step.reuse_samples >= i or
+                        for j in range(k):
+                            if (j + this_step.reuse_samples >= k or
                                     this_step.reuse_samples < 0):
                                 var_dicts_fit = np.concatenate(
-                                    (var_dicts_fit, results[j].var_dicts))
+                                    (var_dicts_fit,
+                                     rt._r_sample[j].var_dicts))
 
-                    if this_step.logp_cutoff and get_prev_density:
-                        var_dicts, var_dicts_fit = self._logp_cutoff(
+                    if this_step.logp_cutoff and prev_density is not None:
+                        var_dicts, var_dicts_fit = self._apply_logp_cutoff(
                             this_step, var_dicts, var_dicts_fit,
-                            prev_samples, prev_density, i_resample)
+                            prev_samples, prev_density, i_fit)
 
                     self.density.fit(var_dicts_fit)
 
                 self.density.use_surrogate = True
-                t = sample(self.density, sample_trace=sample_trace)
-                x = t.get(flatten=True)
-                surrogate_list = deepcopy(list(
-                    self._density._surrogate_list))
-                results.append(SampleResult(
-                    samples=x, surrogate_list=surrogate_list,
-                    var_dicts=var_dicts, sample_trace=t))
-
+                tt = sample(self.density, sample_trace=trace)
+                rt._r_sample.append(SampleResult(
+                    samples=tt.get(flatten=True),
+                    surrogate_list=deepcopy(list(
+                        self._density._surrogate_list)),
+                    var_dicts=var_dicts, sample_trace=tt))
             else:
                 if isinstance(self._density, Density):
                     self.density.use_surrogate = False
-                t = sample(self.density, sample_trace=sample_trace)
-                x = t.get(flatten=True)
-                results.append(SampleResult(samples=x, surrogate_list=(),
-                                            var_dicts=None, sample_trace=t))
+                tt = sample(self.density, sample_trace=trace)
+                rt._r_sample.append(SampleResult(
+                    samples=tt.get(flatten=True), surrogate_list=(),
+                    var_dicts=None, sample_trace=tt))
 
-            steps.append(this_step)
-            print(f'\n *** SampleStep proceeding: iter #{i} finished. *** \n')
-            recipe_trace._i_sample += 1
-            i = recipe_trace._i_sample
-            this_step = recipe_trace._strategy.update(results)
+            rt._s_sample.append(this_step)
+            print(f'\n *** SampleStep round #{k} done. *** \n')
+            rt._i_sample += 1
+            k = rt._i_sample
+            this_step = rt._strategy.update(rt._r_sample)
 
         print('\n ***** SampleStep finished. ***** \n')
 
-    def _logp_cutoff(self, this_step, var_dicts, var_dicts_fit, prev_samples,
-                     prev_density, i_resample):
-        """Drop fit points with logp < min(logq) and supplement
-        (``recipe.py:1097-1155``)."""
-        logp_fit = np.concatenate(
-            [np.atleast_1d(vd.fun[self.density.density_name])
-             for vd in var_dicts_fit])
-        logq_fit = prev_density[i_resample]
-        logq_min = np.min(logq_fit)
+    def _apply_logp_cutoff(self, this_step, var_dicts, var_dicts_fit,
+                           prev_samples, prev_density, i_fit):
+        """Discard fit points whose true logp falls below the lowest
+        surrogate logq among the selected points, then top back up to
+        n_eval_min with fresh draws (reference ``recipe.py:1097-1155``)."""
+        name = self.density.density_name
+        logp_fit = _stack_logp(var_dicts_fit, name)
+        logq_min = np.min(prev_density[i_fit])
 
-        is_good = logp_fit > logq_min
-        n_good = np.sum(is_good)
-        f_good = n_good / logp_fit.size
-        if f_good < 0.5:
-            warnings.warn('more than half of the samples are abandoned '
-                          'because their logp < logq_min.', RuntimeWarning)
-        if f_good == 0.:
+        keep = logp_fit > logq_min
+        frac = np.sum(keep) / logp_fit.size
+        if frac < 0.5:
+            warnings.warn('the logp cutoff rejected over half of the fit '
+                          'points (true logp below the lowest selected '
+                          'logq).', RuntimeWarning)
+        if frac == 0.:
             raise RuntimeError(
-                'f_good is 0, indicating that the samples seem very bad. '
-                'Please check your recipe setup. You may also want to try '
-                'logp_cutoff=False for the SampleStep.')
+                'every candidate fit point failed the logp cutoff — the '
+                'surrogate and the true density disagree badly here. Check '
+                'the recipe configuration, or disable logp_cutoff on this '
+                'SampleStep.')
 
-        var_dicts_fit = var_dicts_fit[is_good]
+        var_dicts_fit = var_dicts_fit[keep]
         while len(var_dicts_fit) < this_step.n_eval_min:
-            n_eval_supp = ((this_step.n_eval_min - len(var_dicts_fit)) /
-                           f_good * this_step.alpha_supp)
-            n_eval_supp = max(int(n_eval_supp), 4)
-            if prev_samples.shape[0] < n_eval_supp:
-                raise RuntimeError('I do not have enough supplementary '
-                                   'points.')
-            i_resample = this_step.resampler(prev_density, n_eval_supp)
-            x_fit = prev_samples[i_resample]
-            var_dicts_supp = self._map_fun(x_fit)
-            logp_supp = np.concatenate(
-                [np.atleast_1d(vd.fun[self.density.density_name])
-                 for vd in var_dicts_supp])
-            is_good = logp_supp > logq_min
-            n_good = np.sum(is_good)
-            if n_good < logp_supp.size / 2:
-                warnings.warn('more than half of the samples are abandoned '
-                              'because their logp < logq_min.',
-                              RuntimeWarning)
-            var_dicts = np.concatenate((var_dicts, var_dicts_supp))
-            var_dicts_fit = np.concatenate(
-                (var_dicts_fit, var_dicts_supp[is_good]))
+            n_supp = max(int((this_step.n_eval_min - len(var_dicts_fit)) /
+                             frac * this_step.alpha_supp), 4)
+            if prev_samples.shape[0] < n_supp:
+                raise RuntimeError('the previous step has too few samples '
+                                   'to top up the fit set after the logp '
+                                   'cutoff.')
+            i_supp = this_step.resampler(prev_density, n_supp)
+            vd_supp = self._eval_true(prev_samples[i_supp])
+            keep = _stack_logp(vd_supp, name) > logq_min
+            if np.sum(keep) < keep.size / 2:
+                warnings.warn('the logp cutoff rejected over half of the '
+                              'supplementary fit points.', RuntimeWarning)
+            var_dicts = np.concatenate((var_dicts, vd_supp))
+            var_dicts_fit = np.concatenate((var_dicts_fit, vd_supp[keep]))
         return var_dicts, var_dicts_fit
 
-    # ---------------- post phase ----------------
+    # --------------------------- post phase -------------------------------
+
+    def _last_samples(self):
+        """Figure out what the last producing step left us: exact samples
+        from the true density (p) or surrogate samples (q) (reference
+        ``recipe.py:1220-1252``)."""
+        rt = self._trace
+        trace_p = trace_q = x_p = x_q = logp_p = logq_q = None
+
+        if rt._i_sample:
+            last_step = rt._s_sample[-1]
+            last_result = rt._r_sample[-1]
+            tt = last_result.sample_trace
+            if last_step.has_surrogate:
+                trace_q, x_q = tt, tt.get(return_type='samples',
+                                          flatten=False)
+                logq_q = tt.get(return_type='logp', flatten=False)
+                self.density.surrogate_list = list(last_step.surrogate_list)
+            else:
+                trace_p, x_p = tt, tt.get(return_type='samples',
+                                          flatten=False)
+                logp_p = tt.get(return_type='logp', flatten=False)
+        elif rt._i_optimize:
+            last_step = rt._s_optimize
+            last_result = rt._r_optimize[-1]
+            if (last_step.has_surrogate and
+                    last_result.sample_trace is not None):
+                tt = last_result.sample_trace
+                trace_q, x_q = tt, tt.get(return_type='samples',
+                                          flatten=False)
+                logq_q = tt.get(return_type='logp', flatten=False)
+                self.density.surrogate_list = list(last_step.surrogate_list)
+            else:
+                warnings.warn('the PostStep found no MCMC samples to work '
+                              'with.', RuntimeWarning)
+        else:
+            raise RuntimeError('the PostStep needs at least one completed '
+                               'OptimizeStep or SampleStep.')
+        return trace_p, trace_q, x_p, x_q, logp_p, logq_q
 
     def _pos_step(self):
-        step = self.recipe_trace._s_post
-        recipe_trace = self.recipe_trace
+        step = self._trace._s_post
+        rt = self._trace
 
-        x_p = x_q = logp_p = logq_q = None
+        trace_p, trace_q, x_p, x_q, logp_p, logq_q = self._last_samples()
         x_max = f_max = None
+        if rt._i_optimize:
+            opt = rt._r_optimize[-1]
+            x_max, f_max = opt.x_max, opt.f_max
+
         samples = weights = weights_trunc = logp = logq = None
-        trace_p = trace_q = None
         logz = logz_err = None
-
-        if recipe_trace._i_optimize:
-            opt_result = recipe_trace._r_optimize[-1]
-            x_max = opt_result.x_max
-            f_max = opt_result.f_max
-
-        if recipe_trace._i_sample:
-            prev_step = recipe_trace._s_sample[-1]
-            prev_result = recipe_trace._r_sample[-1]
-            if prev_step.has_surrogate:
-                trace_q = prev_result.sample_trace
-                x_q = trace_q.get(return_type='samples', flatten=False)
-                logq_q = trace_q.get(return_type='logp', flatten=False)
-                self.density.surrogate_list = list(prev_step.surrogate_list)
-            else:
-                trace_p = prev_result.sample_trace
-                x_p = trace_p.get(return_type='samples', flatten=False)
-                logp_p = trace_p.get(return_type='logp', flatten=False)
-        elif recipe_trace._i_optimize:
-            prev_step = recipe_trace._s_optimize
-            prev_result = recipe_trace._r_optimize[-1]
-            if (prev_step.has_surrogate and
-                    prev_result.sample_trace is not None):
-                trace_q = prev_result.sample_trace
-                x_q = trace_q.get(return_type='samples', flatten=False)
-                logq_q = trace_q.get(return_type='logp', flatten=False)
-                self.density.surrogate_list = list(prev_step.surrogate_list)
-            else:
-                warnings.warn('no existing samples found.', RuntimeWarning)
-        else:
-            raise RuntimeError('you have run neither OptimizeStep nor '
-                               'SampleStep before the PostStep.')
-
         n_is_used = 0
+
         if x_p is not None:
+            # exact samples: unit weights, optional evidence on p directly
             samples = x_p.reshape((-1, x_p.shape[-1]))
             weights = np.ones(samples.shape[0])
             weights_trunc = weights
             logp = logp_p.reshape(-1)
             if step.evidence_method is not None:
                 logz, logz_err = step.evidence_method.run(
-                    x_p=trace_p, logp=self._f_logp, logp_p=logp_p)
+                    x_p=trace_p, logp=self._true_logp, logp_p=logp_p)
             if step.n_is > 0:
-                warnings.warn('n_is will not be used when we already have '
-                              'exact samples from logp.', RuntimeWarning)
+                warnings.warn('n_is is ignored: the last step already '
+                              'sampled the true density.', RuntimeWarning)
 
         elif x_q is not None:
             samples = x_q.reshape((-1, x_q.shape[-1]))
             logq = logq_q.reshape(-1)
 
             if step.n_is != 0:
-                if step.n_is < 0 or step.n_is > samples.shape[0]:
-                    if step.n_is > 0:
+                n_is = step.n_is
+                if n_is < 0 or n_is > samples.shape[0]:
+                    if n_is > 0:
                         warnings.warn(
-                            f'you set n_is as {step.n_is}, but I can only '
-                            f'get {samples.shape[0]} samples from the '
-                            'previous step, so I will use all these samples '
-                            'to do IS for now.', RuntimeWarning)
+                            f'n_is = {n_is} exceeds the {samples.shape[0]} '
+                            'available surrogate samples; reweighting all '
+                            'of them instead.', RuntimeWarning)
                     n_is = samples.shape[0]
                 else:
-                    n_is = step.n_is
                     stride = int(samples.shape[0] / n_is)
                     samples = samples[::stride][:n_is]
                     logq = logq[::stride][:n_is]
 
                 n_is_used = samples.shape[0]
-                logp = np.asarray(self.density.logp(
-                    samples, original_space=True,
-                    use_surrogate=False)).reshape(-1)
+                logp = np.asarray(self._true_logp(samples)).reshape(-1)
                 weights = np.exp(logp - logq)
                 if step.k_trunc < 0:
                     weights_trunc = weights.copy()
                 else:
-                    weights_trunc = np.clip(weights, 0, np.mean(weights) *
-                                            n_is ** step.k_trunc)
+                    weights_trunc = np.clip(
+                        weights, 0,
+                        np.mean(weights) * n_is ** step.k_trunc)
 
                 if step.evidence_method is not None:
-                    logz_q, logz_err_q = step.evidence_method.run(
-                        x_p=trace_q, logp=self._f_logq, logp_p=logq_q)
-                    logz_pq = logsumexp(logp - logq, b=1 / logp.size)
-                    foo = np.exp(logp - logq - logz_pq)
-                    tau = float(integrated_time(foo, quiet=True))
-                    logz_err_pq = (np.var(foo) / np.mean(foo) ** 2 /
-                                   logp.size * tau) ** 0.5
-                    logz = logz_q + logz_pq
-                    logz_err = (logz_err_q ** 2 + logz_err_pq ** 2) ** 0.5
+                    logz, logz_err = self._evidence_with_is(
+                        step, trace_q, logq_q, logp, logq)
             else:
                 weights = np.ones(samples.shape[0])
                 weights_trunc = weights
                 if step.evidence_method is not None:
-                    warnings.warn('since n_is is 0, we are computing the '
-                                  'evidence of logq, which may differ from '
-                                  'the evidence of logp.', RuntimeWarning)
+                    warnings.warn('with n_is = 0 the evidence below is that '
+                                  'of the surrogate logq, not of the true '
+                                  'logp.', RuntimeWarning)
                     logz, logz_err = step.evidence_method.run(
-                        x_p=trace_q, logp=self._f_logq, logp_p=logq_q)
+                        x_p=trace_q, logp=self._surro_logp, logp_p=logq_q)
         else:
             if step.n_is or step.evidence_method is not None:
-                warnings.warn('n_is and evidence_method will not be used '
-                              'when we only have Laplace samples.',
-                              RuntimeWarning)
+                warnings.warn('importance sampling and evidence estimation '
+                              'need MCMC samples; only Laplace samples are '
+                              'available.', RuntimeWarning)
 
         try:
-            n_call = recipe_trace.n_call + n_is_used
+            n_call = rt.n_call + n_is_used
         except Exception:
             n_call = None
-        recipe_trace._r_post = PostResult(
-            samples, weights, weights_trunc, logp, logq, logz, logz_err, x_p,
-            x_q, logp_p, logq_q, trace_p, trace_q, n_call, x_max, f_max)
-        recipe_trace._i_post = 1
+        rt._r_post = PostResult(
+            samples, weights, weights_trunc, logp, logq, logz, logz_err,
+            x_p, x_q, logp_p, logq_q, trace_p, trace_q, n_call, x_max, f_max)
+        rt._i_post = 1
         print('\n ***** PostStep finished. ***** \n')
 
-    def _f_logp(self, x):
-        return self.density.logp(x, original_space=True, use_surrogate=False)
+    def _evidence_with_is(self, step, trace_q, logq_q, logp, logq):
+        """Evidence of q, importance-corrected to p: logz = logz_q +
+        log E_q[p/q], with autocorrelation-aware errors combined in
+        quadrature (reference ``recipe.py:1299-1308``)."""
+        logz_q, logz_err_q = step.evidence_method.run(
+            x_p=trace_q, logp=self._surro_logp, logp_p=logq_q)
+        logz_pq = logsumexp(logp - logq, b=1 / logp.size)
+        ratio = np.exp(logp - logq - logz_pq)
+        tau = float(integrated_time(ratio, quiet=True))
+        err_pq = (np.var(ratio) / np.mean(ratio) ** 2 / logp.size * tau) ** 0.5
+        return logz_q + logz_pq, float(np.hypot(logz_err_q, err_pq))
 
-    def _f_logq(self, x):
-        return self.density.logp(x, original_space=True, use_surrogate=True)
+    # ------------------------------ API ------------------------------------
 
     def run(self):
-        """Run all remaining phases (re-entrant, ``recipe.py:1345-1353``)."""
-        f_opt, f_sam, f_pos = self.recipe_trace.finished
-        if not f_opt:
+        """Run every phase that has not finished yet (re-entrant; reference
+        ``recipe.py:1345-1353``)."""
+        done = self.recipe_trace.finished
+        if not done.optimize:
             self._opt_step()
-        if not f_sam:
+        if not done.sample:
             self._sam_step()
-        if not f_pos:
+        if not done.post:
             self._pos_step()
 
     def get(self):
         """Return the PostResult of the Recipe."""
-        if self.recipe_trace._r_post is None:
-            raise RuntimeError('you have not run a PostStep.')
-        return self.recipe_trace._r_post
+        if self._trace._r_post is None:
+            raise RuntimeError('the PostStep has not run yet.')
+        return self._trace._r_post
 
     def save(self, path):
         """Checkpoint the Recipe (all phase results + sampler carries).

@@ -207,7 +207,8 @@ class SIT:
     def _init_data(self, data, weights):
         if data is None:
             if self._data is None:
-                raise ValueError('you have not given me the data to fit.')
+                raise ValueError('no fit data: pass data here or to a '
+                                 'previous fit() call.')
             return
         data = np.array(data, np.float64)
         if data.ndim == 2:
@@ -218,7 +219,8 @@ class SIT:
             raise ValueError('invalid shape for data.')
         self._data_init = self._data.copy()
         if self.dim == 1:
-            raise ValueError('I cannot do rotations for only one variable.')
+            raise ValueError('SIT needs at least 2 dimensions (the '
+                             'ICA rotation is undefined in 1-d).')
         n = self._data.shape[0]
         if weights is not None:
             weights = np.asarray(weights)
@@ -251,9 +253,8 @@ class SIT:
                 data_new = self._gaussianize_nd(y)
             except Exception:
                 warnings.warn(
-                    'we found that sometimes it goes wrong, but actually it '
-                    'can work if we use a different random seed, so let us '
-                    'give it one more chance.', RuntimeWarning)
+                    'the ICA layer failed to converge; retrying once with a '
+                    'fresh random seed.', RuntimeWarning)
                 y, A, B, m = self._ica(self._data)
                 data_new = self._gaussianize_nd(y)
             self._data = data_new
