@@ -18,7 +18,9 @@ __all__ = ['available', 'sobol_points', 'kde_cdf', 'spline_eval',
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, 'src', 'bf_native.c')
-_LIB_PATH = os.path.join(_HERE, 'libbf_native.so')
+_BUILD_DIR = os.environ.get('BF_NATIVE_BUILD_DIR',
+                            os.path.join(_HERE, 'build'))
+_LIB_PATH = os.path.join(_BUILD_DIR, 'libbf_native.so')
 _lib = None
 _tried = False
 
@@ -28,9 +30,12 @@ _i64 = ctypes.c_int64
 
 
 def _build():
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = _LIB_PATH + f'.tmp{os.getpid()}'
     cmd = ['gcc', '-O3', '-march=native', '-fopenmp', '-shared', '-fPIC',
-           '-fvisibility=hidden', '-o', _LIB_PATH, _SRC, '-lm']
+           '-fvisibility=hidden', '-o', tmp, _SRC, '-lm']
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB_PATH)  # atomic vs concurrent builders
 
 
 def _load():
