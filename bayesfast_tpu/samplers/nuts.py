@@ -12,26 +12,42 @@ Design — ONE flat ``lax.while_loop`` over *leaf iterations*, written
 batch-first (the chain axis is explicit in every array, nothing is vmapped),
 with a **lane-minor layout**: every vector is (dim, chains) and the
 checkpoint stack is (levels, width, chains), so the chain axis lands on the
-TPU's 128-lane minor tiling with zero padding. Decisions measured on TPU v5
-at 2048 chains, D=32 (profiles in the repo history):
+TPU's 128-lane minor tiling with zero padding.
+
+The central structural fact the kernel exploits: **every still-active lane
+shares the same tree schedule.** A lane leaves the common schedule only by
+diverging, U-turning, or hitting max depth — and each of those finishes the
+lane — so the loop counters (leaf index ``k``, merge level ``m``, pending
+merge count, depth, leaf-vs-merge phase) are *scalars*, not per-lane arrays.
+That buys three big wins over the round-1 one-hot formulation (decisions
+measured on TPU v5 at 2048 chains, D=32; profiles in the repo history):
+
+  * checkpoint-stack access is a scalar-indexed ``dynamic_slice`` /
+    ``dynamic_update_slice`` (O(width x chains) per iteration) instead of a
+    one-hot select over every level (O(levels x width x chains) — the two
+    one-hot passes were 68% of the round-1 kernel);
+  * merge-only iterations (leaves with >= 2 trailing 1-bits; ~1/3 of all
+    iterations) skip the leapfrog entirely via ``lax.cond`` on the scalar
+    phase flag, where the masked formulation re-integrated and discarded;
+  * the stack stores only momenta — endpoint *velocities* are recomputed
+    from ``M^{-1} p`` at merge time, cutting the stored frame from 5 to 3
+    vectors (HBM traffic scales with frame width).
+
+Further layout decisions kept from round 1:
 
   * a vmapped ``while_loop`` is batched by re-running the body until *all*
     lanes finish and selecting the whole carry per iteration — with nested
     tree loops, finished chains re-integrate their entire subtree at every
-    outer doubling, so wall-clock scales with ``sum_d max_lanes 2^depth``
-    instead of ``max_lanes tree_size``. The flat loop advances every lane
-    every iteration.
-  * chain-major (C, D) arrays pad the minor dim 32 -> 128 (4x traffic), and
-    a (C, levels, width) stack pads (levels, width) = (10, 195) -> (16, 256)
-    (2.1x). Lane-minor shapes tile exactly; profiling showed the two stack
-    passes (one-hot read + one-hot write select) were 68% of the kernel.
-  * stack access uses one-hot selects, not per-lane gather/scatter (measured
-    ~200x slower at this batch size).
+    outer doubling. The flat loop advances every lane every iteration.
+  * chain-major (C, D) arrays pad the minor dim 32 -> 128 (4x traffic);
+    lane-minor shapes tile exactly.
   * each leaf iteration performs the leapfrog AND the first binary-counter
-    merge; only leaves with >=2 trailing 1-bits need extra merge-only
+    merge; only leaves with >= 2 trailing 1-bits need extra merge-only
     iterations, cutting iterations per subtree from 2*2^d to 1.5*2^d. The
     final push of a completed subtree is skipped (nothing ever reads it), so
-    the stack needs only ``max_treedepth - 1`` levels.
+    the stack needs only ``max_treedepth - 1`` live levels (plus one
+    write-sink level so the per-iteration push is unconditional and stays an
+    in-place dynamic-update).
 
 Semantics faithfully kept from the reference (they affect sampling statistics):
   * multinomial proposal sampling via ``logbern(log_size2 - log_size_total)``
@@ -86,16 +102,6 @@ class TIntegratorState(NamedTuple):
     logp: jnp.ndarray
 
 
-def _velocity_t(metric_t, p):
-    """Lane-minor ``M^{-1} p``: ``p`` is (D, C); ``metric_t`` is the
-    transposed metric payload from ``_metric_t``."""
-    kind, payload = metric_t
-    if kind == 'diag':
-        return payload * p
-    return jnp.einsum('ijc,jc->ic', payload, p) if payload.ndim == 3 \
-        else payload @ p
-
-
 def _metric_t(metric):
     """Transpose a Diag/FullMetricState's payload to lane-minor once."""
     if isinstance(metric, DiagMetricState):
@@ -103,6 +109,23 @@ def _metric_t(metric):
         return ('diag', var.T if var.ndim == 2 else var[:, None])
     cov = metric.cov
     return ('full', jnp.moveaxis(cov, 0, -1) if cov.ndim == 3 else cov)
+
+
+def _make_vel_fn(metric_t):
+    """Lane-minor ``M^{-1} p`` closure accepting any leading batch dims:
+    ``p`` is (..., D, C). The tree kernel stores only momenta and recomputes
+    endpoint velocities at merge time through this."""
+    kind, payload = metric_t
+    if kind == 'diag':
+        return lambda p: payload * p
+    if payload.ndim == 3:
+        return lambda p: jnp.einsum('ijc,...jc->...ic', payload, p)
+    return lambda p: jnp.einsum('ij,...jc->...ic', payload, p)
+
+
+def _velocity_t(metric_t, p):
+    """Lane-minor ``M^{-1} p`` for a single (D, C) vector."""
+    return _make_vel_fn(metric_t)(p)
 
 
 def compute_state_t(metric_t, lpg_t, q, p):
@@ -136,10 +159,10 @@ def _bwhere(mask, new, old):
 class _TreeLayout:
     """Flat-vector layout of a subtree summary, lane-minor.
 
-    Rows ``[left_p(D) | left_v(D) | right_p(D) | right_v(D) | p_sum(D) |
-    log_size(1) | prop(P)]`` over columns = chains, so stack writes and
-    merge selects are single fused passes with the chain axis on the
-    128-lane tiling.
+    Rows ``[left_p(D) | right_p(D) | p_sum(D) | log_size(1) | prop(P)]``
+    over columns = chains, so stack frames and merge selects are single
+    fused passes with the chain axis on the 128-lane tiling. Endpoint
+    velocities are NOT stored — merges recompute them via the metric.
     """
 
     def __init__(self, dim, prop_example):
@@ -150,17 +173,13 @@ class _TreeLayout:
         self.prop_sizes = [max(1, int(np.prod(jnp.shape(l)[:-1])))
                            for l in leaves]
         self.prop_len = sum(self.prop_sizes)
-        self.total = 5 * dim + 1 + self.prop_len
+        self.total = 3 * dim + 1 + self.prop_len
         d = dim
         self.sl_left_p = slice(0, d)
-        self.sl_left_v = slice(d, 2 * d)
-        self.sl_right_p = slice(2 * d, 3 * d)
-        self.sl_right_v = slice(3 * d, 4 * d)
-        self.sl_p_sum = slice(4 * d, 5 * d)
-        self.i_log_size = 5 * d
-        self.sl_left = slice(0, 2 * d)
-        self.sl_right = slice(2 * d, 4 * d)
-        self.sl_prop = slice(5 * d + 1, self.total)
+        self.sl_right_p = slice(d, 2 * d)
+        self.sl_p_sum = slice(2 * d, 3 * d)
+        self.i_log_size = 3 * d
+        self.sl_prop = slice(3 * d + 1, self.total)
 
     def flat_prop(self, prop):
         leaves = jax.tree.leaves(prop)
@@ -179,27 +198,30 @@ class _TreeLayout:
 
     def leaf(self, state, d_energy, prop_of):
         return jnp.concatenate([
-            state.p, state.v, state.p, state.v, state.p,
+            state.p, state.p, state.p,
             -d_energy[None], self.flat_prop(prop_of(state))], axis=0)
 
 
-def _merge_b(u, L, t1, t2, merged_depth):
+def _merge_b(u, L, vel_fn, t1, t2, merged_depth):
     """Join adjacent flat subtrees t1 (older/left of) and t2 (newer/right):
-    t1/t2 are (total, C), ``u`` (C,) uniforms, ``merged_depth`` (C,).
+    t1/t2 are (total, C), ``u`` (C,) uniforms, ``merged_depth`` a scalar.
 
     Mirrors the join in ``nuts.py:146-167`` including the extra U-turn
     checks when the merged depth exceeds 1; the six U-turn dot products run
-    as one packed (6, D, C) contraction.
+    as one packed (6, D, C) contraction with the four endpoint velocities
+    recomputed from the stored momenta in one batched ``vel_fn`` call.
     """
     ps1 = t1[L.sl_p_sum]
     ps2 = t2[L.sl_p_sum]
     p_sum = ps1 + ps2
     p_sum1 = ps1 + t2[L.sl_left_p]
     p_sum2 = t1[L.sl_right_p] + ps2
+    ends_v = vel_fn(jnp.stack(
+        [t1[L.sl_left_p], t1[L.sl_right_p],
+         t2[L.sl_left_p], t2[L.sl_right_p]], axis=0))
+    v1l, v1r, v2l, v2r = ends_v
     lhs = jnp.stack([p_sum, p_sum, p_sum1, p_sum1, p_sum2, p_sum2], axis=0)
-    rhs = jnp.stack([t1[L.sl_left_v], t2[L.sl_right_v],
-                     t1[L.sl_left_v], t2[L.sl_left_v],
-                     t1[L.sl_right_v], t2[L.sl_right_v]], axis=0)
+    rhs = jnp.stack([v1l, v2r, v1l, v2l, v1r, v2r], axis=0)
     dots = jnp.sum(lhs * rhs, axis=1)
     turning = (dots[0] <= 0) | (dots[1] <= 0)
     turning1 = (dots[2] <= 0) | (dots[3] <= 0)
@@ -212,23 +234,9 @@ def _merge_b(u, L, t1, t2, merged_depth):
     take2 = jnp.log(u) < ls2 - log_size
     tail = jnp.where(take2, t2[L.sl_prop], t1[L.sl_prop])
     merged = jnp.concatenate([
-        t1[L.sl_left], t2[L.sl_right], p_sum,
+        t1[L.sl_left_p], t2[L.sl_right_p], p_sum,
         log_size[None], tail], axis=0)
     return merged, turning
-
-
-def _stack_read(stack, m, n_lvl):
-    """Read per-lane level ``m`` via a one-hot multiply-reduce (fused single
-    pass; per-lane gathers measured ~200x slower at 2048 chains)."""
-    oh = jnp.arange(n_lvl)[:, None] == m[None, :]
-    return jnp.sum(jnp.where(oh[:, None, :], stack, 0), axis=0)
-
-
-def _stack_write(stack, m, val, mask, n_lvl):
-    """Write ``val`` at per-lane level ``m`` where ``mask`` (one-hot select,
-    no scatter)."""
-    sel = (jnp.arange(n_lvl)[:, None] == m[None, :]) & mask[None, :]
-    return jnp.where(sel[:, None, :], val[None], stack)
 
 
 def _trailing_ones(k):
@@ -239,21 +247,30 @@ def _trailing_ones(k):
 
 
 def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
-                      max_change):
+                      max_change, vel_fn):
     """Batch-first iterative tree-doubling core over any lane-minor
     integrator state with ``.q/.p/.v/.energy/.logp`` fields — vectors
     (D, C), scalars (C,) (shared by NUTS and tempered TNUTS).
 
     ``step_fn(eps, state)`` integrates one batched leapfrog step with
     per-chain signed steps ``eps`` of shape (C,). ``step_size`` is (C,)
-    positive. Returns a dict of batched results (proposal pytree, depth,
-    tree size, acceptance statistics, divergence flag, loop_iters).
+    positive. ``vel_fn(p)`` maps stored momenta of shape (..., D, C) to
+    velocities ``M^{-1} p`` (see ``_make_vel_fn``). Returns a dict of
+    batched results (proposal pytree, depth, tree size, acceptance
+    statistics, divergence flag, loop_iters).
+
+    The loop counters (``k``, ``m``, ``pending``, ``need_leaf``,
+    ``depth_s``) are scalars: every lane still in flight shares the same
+    schedule, because the only ways to deviate from it (divergence, U-turn,
+    max depth) all finish the lane. Finished lanes keep integrating as
+    masked passengers; their stack frames may go stale but are never read.
     """
     D, C = start.q.shape
     dtype = start.q.dtype
     L = _TreeLayout(D, prop_of(start))
     # a depth-d subtree reads levels 0..d-2 and writes 0..d-1 (its final
-    # merge result goes straight to the main tree), and d <= max_treedepth-1
+    # merge result goes straight to the main tree), and d <= max_treedepth-1;
+    # one extra level is the write sink for iterations with nothing to push
     n_lvl = max(int(max_treedepth) - 1, 1)
     start_energy = start.energy
 
@@ -267,15 +284,18 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
         prop=L.flat_prop(prop_of(start)),
         p_sum=start.p,
         log_size=jnp.zeros((C,), dtype),
-        stack=jnp.zeros((n_lvl, L.total, C), dtype),
+        stack=jnp.zeros((n_lvl + 1, L.total, C), dtype),
         inc=jnp.zeros((L.total, C), dtype),
-        k=jnp.zeros((C,), jnp.int32),
+        # scalar schedule
+        k=jnp.zeros((), jnp.int32),
+        depth_s=jnp.zeros((), jnp.int32),
+        m=jnp.zeros((), jnp.int32),
+        pending=jnp.zeros((), jnp.int32),
+        need_leaf=jnp.ones((), bool),
+        # per-lane state
         depth=jnp.zeros((C,), jnp.int32),
         go_right=go_right0,
         eps=eps0,
-        pending=jnp.zeros((C,), jnp.int32),
-        need_leaf=jnp.ones((C,), bool),
-        m=jnp.zeros((C,), jnp.int32),
         accept_sum=jnp.zeros((C,), dtype),
         n_prop=jnp.zeros((C,), jnp.int32),
         max_de=jnp.zeros((C,), dtype),
@@ -291,110 +311,152 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
         key, sub = jax.random.split(c['key'])
         u = jax.random.uniform(sub, (3, C))
         active = ~c['done']
-        do_leaf = active & c['need_leaf']
 
-        # ---- leaf: one leapfrog (masked by do_leaf) ----
-        new_state = step_fn(c['eps'], c['cur'])
-        d_energy = new_state.energy - start_energy
-        d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
-        div = do_leaf & ~(jnp.abs(d_energy) < max_change)
-        leaf_vec = L.leaf(new_state, d_energy, prop_of)
+        # ---- leaf phase: one leapfrog, skipped entirely on merge-only
+        # iterations (the scalar flag makes this a real branch, not a mask)
+        def leaf_phase(cur, inc, accept_sum, n_prop, max_de):
+            new_state = step_fn(c['eps'], cur)
+            d_energy = new_state.energy - start_energy
+            d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
+            div = active & ~(jnp.abs(d_energy) < max_change)
+            leaf_vec = L.leaf(new_state, d_energy, prop_of)
+            upd = active & (jnp.abs(d_energy) > jnp.abs(max_de))
+            max_de = jnp.where(upd, d_energy, max_de)
+            accept = jnp.minimum(1.0, jnp.exp(-d_energy))
+            accept_sum = accept_sum + jnp.where(active & ~div, accept, 0.)
+            n_prop = n_prop + active.astype(jnp.int32)
+            cur = _bwhere(active & ~div, new_state, cur)
+            return cur, leaf_vec, accept_sum, n_prop, max_de, div
 
-        upd = do_leaf & (jnp.abs(d_energy) > jnp.abs(c['max_de']))
-        max_de = jnp.where(upd, d_energy, c['max_de'])
-        accept = jnp.minimum(1.0, jnp.exp(-d_energy))
-        accept_sum = c['accept_sum'] + jnp.where(do_leaf & ~div, accept, 0.)
-        n_prop = c['n_prop'] + do_leaf.astype(jnp.int32)
+        def no_leaf(cur, inc, accept_sum, n_prop, max_de):
+            return (cur, inc, accept_sum, n_prop, max_de,
+                    jnp.zeros((C,), bool))
 
-        cur = _bwhere(do_leaf & ~div, new_state, c['cur'])
+        cur, inc, accept_sum, n_prop, max_de, div = jax.lax.cond(
+            c['need_leaf'], leaf_phase, no_leaf,
+            c['cur'], c['inc'], c['accept_sum'], c['n_prop'], c['max_de'])
         diverging = c['diverging'] | div
-        t_ones = _trailing_ones(c['k'])
-
-        inc = jnp.where(do_leaf, leaf_vec, c['inc'])
-        m = jnp.where(do_leaf, 0, c['m'])
-        pending = jnp.where(do_leaf, t_ones, c['pending'])
+        m = jnp.where(c['need_leaf'], 0, c['m'])
+        pending = jnp.where(c['need_leaf'], _trailing_ones(c['k']),
+                            c['pending'])
 
         # ---- one binary-counter merge, fused into the same iteration
-        # (leaves with >=2 trailing 1-bits take extra merge-only passes) ----
-        do_merge = active & ~div & (pending > 0)
-        t1 = _stack_read(c['stack'], m, n_lvl)
-        merged, mturn = _merge_b(u[0], L, t1, inc, m + 1)
-        turning_sub = do_merge & mturn
-        inc = jnp.where(do_merge, merged, inc)
-        m = jnp.where(do_merge, m + 1, m)
-        pending = jnp.where(do_merge, pending - 1, pending)
+        # (leaves with >= 2 trailing 1-bits take extra merge-only passes);
+        # the stack frame is read by scalar level index — one slice, not a
+        # select over every level
+        def merge_phase(stack, inc):
+            t1 = jax.lax.dynamic_index_in_dim(stack, m, axis=0,
+                                              keepdims=False)
+            merged, mturn = _merge_b(u[0], L, vel_fn, t1, inc, m + 1)
+            keep = active & ~div
+            return jnp.where(keep, merged, inc), keep & mturn
+
+        inc, turning_sub = jax.lax.cond(
+            pending > 0, merge_phase,
+            lambda stack, inc: (inc, jnp.zeros((C,), bool)),
+            c['stack'], inc)
+        did_merge = pending > 0
+        m = jnp.where(did_merge, m + 1, m)
+        pending = jnp.where(did_merge, pending - 1, pending)
 
         abort = div | turning_sub
-        fin = ~abort & (pending == 0) & (do_leaf | do_merge)
+        # every iteration performs a leaf or a merge, so the (sub-)subtree
+        # at the current level is complete exactly when no merges remain
+        fin = pending == 0
         k = jnp.where(fin, c['k'] + 1, c['k'])
-        n_leaf = jnp.left_shift(jnp.int32(1), c['depth'])
+        n_leaf = jnp.left_shift(jnp.int32(1), c['depth_s'])
         sub_done = fin & (k == n_leaf)
-        # completed subtrees skip their (never-read) final push
-        stack = _stack_write(c['stack'], m, inc, fin & ~sub_done, n_lvl)
+        # push the completed frame at its level; iterations with nothing to
+        # push (or whose final merge feeds the main tree directly) land on
+        # the sink level so the write stays one in-place dynamic-update
+        w_idx = jnp.where(fin & ~sub_done, m, n_lvl)
+        stack = jax.lax.dynamic_update_index_in_dim(c['stack'], inc, w_idx,
+                                                    axis=0)
 
-        # ---- subtree completion: main-tree doubling bookkeeping ----
-        sub_ls = inc[L.i_log_size]
-        take = sub_done & (jnp.log(u[1]) < sub_ls - c['log_size'])
-        prop = jnp.where(take, inc[L.sl_prop], c['prop'])
-        log_size = jnp.where(sub_done,
-                             jnp.logaddexp(c['log_size'], sub_ls),
-                             c['log_size'])
-        sub_p_sum = inc[L.sl_p_sum]
-        p_sum_new = c['p_sum'] + sub_p_sum
+        # ---- subtree completion: main-tree doubling bookkeeping (scalar
+        # branch — most iterations skip all of it) ----
+        def completion(left, right, cur, p_sum, log_size, prop, go_right,
+                       eps, depth, done):
+            ok = active & ~abort
+            sub_ls = inc[L.i_log_size]
+            take = ok & (jnp.log(u[1]) < sub_ls - log_size)
+            prop = jnp.where(take, inc[L.sl_prop], prop)
+            log_size_new = jnp.where(ok, jnp.logaddexp(log_size, sub_ls),
+                                     log_size)
+            sub_p_sum = inc[L.sl_p_sum]
+            p_sum_new = p_sum + sub_p_sum
 
-        # spatial ends: the subtree's integration-order right end is ``cur``
-        go_right = c['go_right']
-        new_left = _bwhere(go_right, c['left'], cur)
-        new_right = _bwhere(go_right, cur, c['right'])
+            # spatial ends: the subtree's integration-order right end is cur
+            new_left = _bwhere(go_right, left, cur)
+            new_right = _bwhere(go_right, cur, right)
 
-        # main-tree turning checks (``nuts.py:88-101``): six dots packed
-        # into one (6, D, C) contraction, halves in spatial order
-        lm_psum = jnp.where(go_right, c['p_sum'], sub_p_sum)
-        rm_psum = jnp.where(go_right, sub_p_sum, c['p_sum'])
-        lm_begin_v = jnp.where(go_right, c['left'].v, cur.v)
-        lm_end_p = jnp.where(go_right, c['right'].p, inc[L.sl_left_p])
-        lm_end_v = jnp.where(go_right, c['right'].v, inc[L.sl_left_v])
-        rm_begin_p = jnp.where(go_right, inc[L.sl_left_p], c['left'].p)
-        rm_begin_v = jnp.where(go_right, inc[L.sl_left_v], c['left'].v)
-        rm_end_v = jnp.where(go_right, cur.v, c['right'].v)
-        p_sum1 = lm_psum + rm_begin_p
-        p_sum2 = lm_end_p + rm_psum
-        lhs = jnp.stack([p_sum_new, p_sum_new, p_sum1, p_sum1,
-                         p_sum2, p_sum2], axis=0)
-        rhs = jnp.stack([new_left.v, new_right.v, lm_begin_v, rm_begin_v,
-                         lm_end_v, rm_end_v], axis=0)
-        dots = jnp.sum(lhs * rhs, axis=1)
-        turning_full = ((dots[0] <= 0) | (dots[1] <= 0) |
-                        (dots[2] <= 0) | (dots[3] <= 0) |
-                        (dots[4] <= 0) | (dots[5] <= 0))
+            # main-tree turning checks (``nuts.py:88-101``): six dots packed
+            # into one (6, D, C) contraction, halves in spatial order
+            inc_left_p = inc[L.sl_left_p]
+            inc_left_v = vel_fn(inc_left_p)
+            lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
+            rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
+            lm_begin_v = jnp.where(go_right, left.v, cur.v)
+            lm_end_p = jnp.where(go_right, right.p, inc_left_p)
+            lm_end_v = jnp.where(go_right, right.v, inc_left_v)
+            rm_begin_p = jnp.where(go_right, inc_left_p, left.p)
+            rm_begin_v = jnp.where(go_right, inc_left_v, left.v)
+            rm_end_v = jnp.where(go_right, cur.v, right.v)
+            p_sum1 = lm_psum + rm_begin_p
+            p_sum2 = lm_end_p + rm_psum
+            lhs = jnp.stack([p_sum_new, p_sum_new, p_sum1, p_sum1,
+                             p_sum2, p_sum2], axis=0)
+            rhs = jnp.stack([new_left.v, new_right.v, lm_begin_v,
+                             rm_begin_v, lm_end_v, rm_end_v], axis=0)
+            dots = jnp.sum(lhs * rhs, axis=1)
+            turning_full = ((dots[0] <= 0) | (dots[1] <= 0) |
+                            (dots[2] <= 0) | (dots[3] <= 0) |
+                            (dots[4] <= 0) | (dots[5] <= 0))
 
-        left = _bwhere(sub_done, new_left, c['left'])
-        right = _bwhere(sub_done, new_right, c['right'])
-        p_sum = jnp.where(sub_done, p_sum_new, c['p_sum'])
-        # the aborted extension still counts toward tree_depth, as in the
-        # reference where depth increments before the abort check
-        depth = jnp.where(sub_done | abort, c['depth'] + 1, c['depth'])
-        finished = abort | (sub_done & (turning_full |
-                                        (depth >= max_treedepth)))
-        done = c['done'] | finished
+            left = _bwhere(ok, new_left, left)
+            right = _bwhere(ok, new_right, right)
+            p_sum = jnp.where(ok, p_sum_new, p_sum)
+            # the aborted extension still counts toward tree_depth, as in
+            # the reference where depth increments before the abort check
+            depth_new = jnp.where(active, depth + 1, depth)
+            finished = (active & abort) | (ok & (turning_full |
+                                                 (depth_new >=
+                                                  max_treedepth)))
+            done = done | finished
 
-        # start the next doubling for lanes that completed and continue
-        start_next = sub_done & ~finished
-        gr_new = u[2] < 0.5
-        go_right = jnp.where(start_next, gr_new, go_right)
-        eps = jnp.where(start_next,
-                        jnp.where(gr_new, step_size, -step_size),
-                        c['eps']).astype(dtype)
-        next_end = _bwhere(gr_new, right, left)
-        cur = _bwhere(start_next, next_end, cur)
-        k = jnp.where(start_next, 0, k)
-        need_leaf = jnp.where(active, fin, c['need_leaf'])
+            # start the next doubling for lanes that completed and continue
+            start_next = ok & ~finished
+            gr_new = u[2] < 0.5
+            go_right = jnp.where(start_next, gr_new, go_right)
+            eps = jnp.where(start_next,
+                            jnp.where(gr_new, step_size, -step_size),
+                            eps).astype(dtype)
+            next_end = _bwhere(gr_new, right, left)
+            cur = _bwhere(start_next, next_end, cur)
+            return (left, right, cur, p_sum, log_size_new, prop, go_right,
+                    eps, depth_new, done)
+
+        def no_completion(left, right, cur, p_sum, log_size, prop, go_right,
+                          eps, depth, done):
+            # lanes can still abort mid-subtree (divergence / inner U-turn)
+            depth_new = jnp.where(active & abort, depth + 1, depth)
+            return (left, right, cur, p_sum, log_size, prop, go_right,
+                    eps, depth_new, done | (active & abort))
+
+        (left, right, cur, p_sum, log_size, prop, go_right, eps,
+         depth, done) = jax.lax.cond(
+            sub_done, completion, no_completion,
+            c['left'], c['right'], cur, c['p_sum'], c['log_size'],
+            c['prop'], c['go_right'], c['eps'], c['depth'], c['done'])
+
+        k = jnp.where(sub_done, 0, k)
+        depth_s = jnp.where(sub_done, c['depth_s'] + 1, c['depth_s'])
 
         return dict(
             key=key, cur=cur, left=left, right=right, prop=prop,
             p_sum=p_sum, log_size=log_size, stack=stack, inc=inc,
-            k=k, depth=depth, go_right=go_right, eps=eps,
-            pending=pending, need_leaf=need_leaf, m=m,
+            k=k, depth_s=depth_s, m=m, pending=pending, need_leaf=fin,
+            depth=depth, go_right=go_right, eps=eps,
             accept_sum=accept_sum, n_prop=n_prop, max_de=max_de,
             diverging=diverging, done=done,
             loop_iters=c['loop_iters'] + 1)
@@ -422,6 +484,7 @@ def nuts_transition_batched(key, q0, metric, step_size, logp_and_grad,
     key, k_mom, k_core = jax.random.split(key, 3)
     p0 = sample_momentum_b(metric, k_mom, (C, D), dtype)
     metric_t = _metric_t(metric)
+    vel_fn = _make_vel_fn(metric_t)
 
     def lpg_t(x_t):
         logp, grad = logp_and_grad(x_t.T)
@@ -433,7 +496,7 @@ def nuts_transition_batched(key, q0, metric, step_size, logp_and_grad,
     step_fn = lambda eps, s: leapfrog_t(metric_t, lpg_t, eps, s)
     prop_of = lambda s: _Proposal(s.q, s.energy, s.logp)
     out = nuts_core_batched(k_core, start, step_fn, prop_of, step_size,
-                            max_treedepth, max_change)
+                            max_treedepth, max_change, vel_fn)
 
     prop = out['prop']
     n_prop_f = jnp.maximum(out['n_prop'], 1).astype(dtype)

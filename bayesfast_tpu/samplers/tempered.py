@@ -24,7 +24,7 @@ import numpy as np
 
 from .metrics import velocity, kinetic_energy, sample_momentum, \
     sample_momentum_b
-from .nuts import nuts_core_batched, _metric_t, _velocity_t
+from .nuts import nuts_core_batched, _metric_t, _velocity_t, _make_vel_fn
 
 __all__ = ['TState', 'TnutsStats', 'ThmcStats', 'tnuts_transition',
            'tnuts_transition_batched', 'thmc_transition']
@@ -220,7 +220,8 @@ def tnuts_transition_batched(key, q0, u0, metric, step_size, lpg_target,
                                           lpg_base_t, eps, s)
     prop_of = lambda s: _TProposal(s.q, s.u, s.weight, s.energy, s.logp)
     out = nuts_core_batched(k_core, start, step_fn, prop_of, step_size,
-                            max_treedepth, max_change)
+                            max_treedepth, max_change,
+                            _make_vel_fn(metric_t))
 
     prop = out['prop']
     n_prop_f = jnp.maximum(out['n_prop'], 1).astype(dtype)

@@ -1,0 +1,130 @@
+"""NUTS transition-kernel utilization benchmark.
+
+Measures the batched NUTS transition against its own leapfrog floor on the
+banana-32 density (the BASELINE.md flagship config): the floor is a pure
+``lax.scan`` of batched leapfrog steps — the physically required work — and
+the kernel overhead ratio is
+
+    (transition wall / leapfrog-equivalents) / (floor wall / steps)
+
+where leapfrog-equivalents = mean over chains of the summed tree sizes. The
+round-1 one-hot kernel measured ~10x over the floor at 2048 chains; the
+round-2 target is <= 3x (VERDICT.md next-round item 2).
+
+Prints one JSON line with the floor, the per-leapfrog-equivalent cost, the
+overhead ratio, and HBM-bandwidth / FLOP utilization estimates for the floor.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import special_ortho_group
+
+from bayesfast_tpu.samplers import nuts
+from bayesfast_tpu.samplers.metrics import init_diag_metric
+
+
+def make_lpg(D=32, Q=0.01):
+    A = jnp.asarray(special_ortho_group.rvs(D, random_state=0),
+                    dtype=jnp.float32)
+
+    def one(x):
+        z = x @ A.T
+        return -jnp.sum((z[::2] ** 2 - z[1::2]) ** 2 / Q + (z[::2] - 1) ** 2)
+
+    return jax.vmap(jax.value_and_grad(one))
+
+
+def main():
+    C = int(os.environ.get('BENCH_N_CHAIN', 2048))
+    D = 32
+    n_iter = int(os.environ.get('BENCH_N_ITER', 50))
+    lpg = make_lpg(D)
+
+    rng = np.random.default_rng(0)
+    # start in the typical set with a realistic adapted configuration
+    x0 = jnp.asarray(0.3 * rng.normal(size=(C, D)), jnp.float32)
+    var = jnp.ones((C, D), jnp.float32)
+    metric = jax.vmap(lambda v: init_diag_metric(jnp.zeros(D, jnp.float32),
+                                                 v))(var)
+    step = jnp.full((C,), 0.12, jnp.float32)
+
+    # ---- leapfrog floor ----
+    metric_t = nuts._metric_t(metric)
+
+    def lpg_t(x_t):
+        lp, g = lpg(x_t.T)
+        return lp, g.T
+
+    start = nuts.compute_state_t(metric_t, lpg_t, x0.T,
+                                 jnp.zeros((D, C), jnp.float32))
+
+    @jax.jit
+    def floor_scan(s, n):
+        def body(s, _):
+            return nuts.leapfrog_t(metric_t, lpg_t, step, s), ()
+        s, _ = jax.lax.scan(body, s, None, length=n)
+        return s
+
+    n_floor = 512
+    floor_scan(start, 8).q.block_until_ready()  # compile
+    t0 = time.time()
+    floor_scan(start, n_floor).q.block_until_ready()
+    floor_us = (time.time() - t0) / n_floor * 1e6
+
+    # ---- full transitions ----
+    @jax.jit
+    def run(key, q):
+        def body(carry, _):
+            key, q = carry
+            key, sub = jax.random.split(key)
+            q, st = nuts.nuts_transition_batched(
+                sub, q, metric, step, lpg, 10, 1000.)
+            return (key, q), (st.tree_size, st.tree_depth, st.diverging)
+        (_, q), (sizes, depths, div) = jax.lax.scan(
+            body, (key, q), None, length=n_iter)
+        return q, sizes, depths, div
+
+    key = jax.random.PRNGKey(0)
+    q, sizes, depths, div = run(key, x0)
+    q.block_until_ready()  # compile
+    t0 = time.time()
+    q, sizes, depths, div = run(key, x0)
+    q.block_until_ready()
+    wall = time.time() - t0
+
+    mean_leapfrogs = float(jnp.sum(jnp.mean(sizes.astype(jnp.float32),
+                                            axis=1)))
+    us_per_lf_eq = wall / mean_leapfrogs * 1e6
+    ratio = us_per_lf_eq / floor_us
+
+    # speed-of-light estimates for the floor: each leapfrog reads/writes the
+    # state pytree (~8 (D, C) f32 arrays touched) and runs the (C, D) x
+    # (D, D) rotation matmul twice (value + grad)
+    hbm_bytes = 8 * D * C * 4
+    hbm_gbs = hbm_bytes / (floor_us * 1e-6) / 1e9
+    flops = 2 * 2 * 2 * C * D * D  # fwd+bwd matmul, 2 flops/MAC
+    tflops = flops / (floor_us * 1e-6) / 1e12
+
+    print(json.dumps({
+        'n_chain': C, 'dim': D, 'n_iter': n_iter,
+        'floor_us_per_leapfrog': round(floor_us, 2),
+        'kernel_us_per_leapfrog_eq': round(us_per_lf_eq, 2),
+        'overhead_ratio': round(ratio, 2),
+        'mean_tree_depth': round(float(jnp.mean(depths.astype(
+            jnp.float32))), 2),
+        'mean_tree_size': round(float(jnp.mean(sizes.astype(
+            jnp.float32))), 1),
+        'diverging_frac': round(float(jnp.mean(div.astype(
+            jnp.float32))), 4),
+        'floor_hbm_gb_s': round(hbm_gbs, 1),
+        'floor_matmul_tflops': round(tflops, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
