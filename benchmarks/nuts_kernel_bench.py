@@ -1,9 +1,11 @@
 """NUTS transition-kernel utilization benchmark.
 
 Measures the batched NUTS transition against its own leapfrog floor on the
-banana-32 density (the BASELINE.md flagship config): the floor is a pure
-``lax.scan`` of batched leapfrog steps — the physically required work — and
-the kernel overhead ratio is
+banana-32 density (the BASELINE.md flagship config) under the *equilibrium
+warmup workload*: a real adaptive warmup runs first, then the adapted step
+sizes / metric / positions are frozen and the raw transition kernel and a
+pure ``lax.scan`` of batched leapfrog steps are timed on identical state.
+The overhead ratio is
 
     (transition wall / leapfrog-equivalents) / (floor wall / steps)
 
@@ -12,88 +14,101 @@ round-1 one-hot kernel measured ~10x over the floor at 2048 chains; the
 round-2 target is <= 3x (VERDICT.md next-round item 2).
 
 Prints one JSON line with the floor, the per-leapfrog-equivalent cost, the
-overhead ratio, and HBM-bandwidth / FLOP utilization estimates for the floor.
+overhead ratio, and HBM-bandwidth / FLOP estimates for the floor.
 """
 
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from scipy.stats import special_ortho_group
 
+import bayesfast_tpu as bf
 from bayesfast_tpu.samplers import nuts
-from bayesfast_tpu.samplers.metrics import init_diag_metric
 
 
-def make_lpg(D=32, Q=0.01):
+def make_density(D=32, Q=0.01):
+    lower = np.full(D, -15.)
+    upper = np.full(D, 15.)
+    bound = np.stack((lower, upper)).T
+    const = float(np.sum(np.log(upper - lower)))
     A = jnp.asarray(special_ortho_group.rvs(D, random_state=0),
                     dtype=jnp.float32)
 
-    def one(x):
+    def logp(x):
         z = x @ A.T
-        return -jnp.sum((z[::2] ** 2 - z[1::2]) ** 2 / Q + (z[::2] - 1) ** 2)
+        return (-jnp.sum((z[::2] ** 2 - z[1::2]) ** 2 / Q
+                         + (z[::2] - 1) ** 2) - const)
 
-    return jax.vmap(jax.value_and_grad(one))
+    return bf.DensityLite(logp=logp, input_size=D, input_scales=bound,
+                          hard_bounds=True)
 
 
 def main():
     C = int(os.environ.get('BENCH_N_CHAIN', 2048))
     D = 32
     n_iter = int(os.environ.get('BENCH_N_ITER', 50))
-    lpg = make_lpg(D)
 
-    rng = np.random.default_rng(0)
-    # start in the typical set with a realistic adapted configuration
-    x0 = jnp.asarray(0.3 * rng.normal(size=(C, D)), jnp.float32)
-    var = jnp.ones((C, D), jnp.float32)
-    metric = jax.vmap(lambda v: init_diag_metric(jnp.zeros(D, jnp.float32),
-                                                 v))(var)
-    step = jnp.full((C,), 0.12, jnp.float32)
+    # ---- adapt: real warmup to the equilibrium workload ----
+    den = make_density(D)
+    bf.utils.set_generator(32)
+    x_0 = 0.05 * np.asarray(bf.utils.sobol.multivariate_normal(
+        np.zeros(D), np.eye(D), C))
+    tt = bf.sample(den, {'n_chain': C, 'n_iter': 400, 'n_warmup': 399,
+                         'x_0': x_0}, verbose=False, n_update=400)
+    carry = tt.trace._carry
+    q_eq = carry.q                                   # (C, D) equilibrium
+    step = jnp.exp(carry.step.log_bar)               # adapted per-chain eps
+    metric = carry.metric                            # adapted Welford state
 
-    # ---- leapfrog floor ----
+    lpg = den.device_logp_and_grad(original_space=False)
+    lpg_b = jax.vmap(lambda x: lpg((), x))
+
+    # ---- leapfrog floor on the same frozen configuration ----
     metric_t = nuts._metric_t(metric)
 
     def lpg_t(x_t):
-        lp, g = lpg(x_t.T)
+        lp, g = lpg_b(x_t.T)
         return lp, g.T
 
-    start = nuts.compute_state_t(metric_t, lpg_t, x0.T,
-                                 jnp.zeros((D, C), jnp.float32))
+    start = nuts.compute_state_t(metric_t, lpg_t, q_eq.T,
+                                 jnp.zeros((D, C), q_eq.dtype))
 
-    @jax.jit
+    @partial(jax.jit, static_argnums=1)
     def floor_scan(s, n):
         def body(s, _):
             return nuts.leapfrog_t(metric_t, lpg_t, step, s), ()
         s, _ = jax.lax.scan(body, s, None, length=n)
         return s
 
-    n_floor = 512
-    floor_scan(start, 8).q.block_until_ready()  # compile
+    n_floor = 2048
+    floor_scan(start, n_floor).q.block_until_ready()  # compile
     t0 = time.time()
     floor_scan(start, n_floor).q.block_until_ready()
     floor_us = (time.time() - t0) / n_floor * 1e6
 
-    # ---- full transitions ----
+    # ---- full transitions on the frozen configuration ----
     @jax.jit
     def run(key, q):
         def body(carry, _):
             key, q = carry
             key, sub = jax.random.split(key)
             q, st = nuts.nuts_transition_batched(
-                sub, q, metric, step, lpg, 10, 1000.)
+                sub, q, metric, step, lpg_b, 10, 1000.)
             return (key, q), (st.tree_size, st.tree_depth, st.diverging)
         (_, q), (sizes, depths, div) = jax.lax.scan(
             body, (key, q), None, length=n_iter)
         return q, sizes, depths, div
 
     key = jax.random.PRNGKey(0)
-    q, sizes, depths, div = run(key, x0)
+    q, sizes, depths, div = run(key, q_eq)
     q.block_until_ready()  # compile
     t0 = time.time()
-    q, sizes, depths, div = run(key, x0)
+    q, sizes, depths, div = run(key, q_eq)
     q.block_until_ready()
     wall = time.time() - t0
 

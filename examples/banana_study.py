@@ -31,7 +31,7 @@ repo collects the committed study.
 Usage:
     python examples/banana_study.py fiducial [--n-draw 2e8]
     python examples/banana_study.py iid [--seed 0] [--n-per-chain 1500]
-    python examples/banana_study.py mcmc --seed 7 [--n-chain 8]
+    python examples/banana_study.py mcmc --seeds 101,102 [--n-chain 8]
 """
 
 import argparse
@@ -122,19 +122,28 @@ def draw_iid_truncated(rng, n):
     return out[:n]
 
 
-def _evidence_suite(x_p, logp_fn, logp_p, n_q, sit_seed):
-    """Run GBS / GIS / GHM on one (chains, iters, dim) sample block."""
+def _evidence_suite(x_p, logp_fn, logp_p, n_q, sit_seed,
+                    estimators=('gbs', 'gis', 'ghm')):
+    """Run the selected estimators on one (chains, iters, dim) sample
+    block. Each fits its own SIT flow (~minutes at banana scale), so
+    per-seed MCMC runs default to GBS only."""
     import bayesfast_tpu as bf
     res = {}
-    for name, cls in (('gbs', bf.evidence.GBS), ('gis', bf.evidence.GIS)):
-        est = cls(n_q=n_q, sit={'random_generator': sit_seed})
+    if 'gbs' in estimators:
+        est = bf.evidence.GBS(n_q=n_q, sit={'random_generator': sit_seed})
         logz, err = est.run(x_p, logp_fn, logp_p)
-        res[f'logz_{name}'] = float(logz)
-        res[f'err_{name}'] = float(err)
-    ghm = bf.evidence.GHM(sit={'random_generator': sit_seed})
-    logz, err = ghm.run(x_p, logp_fn, logp_p)
-    res['logz_ghm'] = float(logz)
-    res['err_ghm'] = float(err)
+        res['logz_gbs'] = float(logz)
+        res['err_gbs'] = float(err)
+    if 'gis' in estimators:
+        est = bf.evidence.GIS(n_q=n_q, sit={'random_generator': sit_seed})
+        logz, err = est.run(x_p, logp_fn, logp_p)
+        res['logz_gis'] = float(logz)
+        res['err_gis'] = float(err)
+    if 'ghm' in estimators:
+        ghm = bf.evidence.GHM(sit={'random_generator': sit_seed})
+        logz, err = ghm.run(x_p, logp_fn, logp_p)
+        res['logz_ghm'] = float(logz)
+        res['err_ghm'] = float(err)
     return res
 
 
@@ -159,41 +168,47 @@ def leg_iid(args):
 
 
 def leg_mcmc(args):
-    """One seeded reference-configuration MCMC + evidence run."""
+    """Seeded reference-configuration MCMC + evidence runs (one JSON line
+    per seed; all seeds share one process so compiles amortize)."""
     import bayesfast_tpu as bf
     from bayesfast_tpu.utils.acor import integrated_time, rhat
 
     A = rotation()
     den = make_density(A)
-    bf.utils.set_generator(args.seed)
-    t0 = time.time()
-    trace = bf.NTrace(n_chain=args.n_chain, n_iter=args.n_iter,
-                      n_warmup=args.n_warmup)
-    tt = bf.sample(den, trace, verbose=False)
-    t_sample = time.time() - t0
+    estimators = tuple(args.estimators.split(','))
+    outs = []
+    for seed in [int(s) for s in args.seeds.split(',')]:
+        bf.utils.set_generator(seed)
+        t0 = time.time()
+        trace = bf.NTrace(n_chain=args.n_chain, n_iter=args.n_iter,
+                          n_warmup=args.n_warmup)
+        tt = bf.sample(den, trace, verbose=False)
+        t_sample = time.time() - t0
 
-    x_p = tt.get(flatten=False)            # (chain, iter, dim), original
-    logp_p = tt.get(flatten=False, return_type='logp')
-    n_q = args.n_q or int(0.05 * tt.n_call)
+        x_p = tt.get(flatten=False)        # (chain, iter, dim), original
+        logp_p = tt.get(flatten=False, return_type='logp')
+        n_q = args.n_q or int(0.05 * tt.n_call)
 
-    t1 = time.time()
-    res = _evidence_suite(tt, den.logp, logp_p, n_q, args.seed + 777)
-    t_evidence = time.time() - t1
+        t1 = time.time()
+        res = _evidence_suite(tt, den.logp, logp_p, n_q, seed + 777,
+                              estimators)
+        t_evidence = time.time() - t1
 
-    tau = float(np.mean(integrated_time(x_p, quiet=True)))
-    r = float(np.max(rhat(x_p)))
-    mean_logp = float(np.mean(logp_p))
-    out = {
-        'leg': 'mcmc', 'seed': args.seed, 'n_chain': args.n_chain,
-        'n_iter': args.n_iter, 'n_warmup': args.n_warmup,
-        'n_call': int(tt.n_call), 'n_q': n_q,
-        **res,
-        'tau_mean': tau, 'rhat_max': r, 'mean_logp': mean_logp,
-        'wall_sample_s': round(t_sample, 1),
-        'wall_evidence_s': round(t_evidence, 1),
-    }
-    print(json.dumps(out))
-    return out
+        tau = float(np.mean(integrated_time(x_p, quiet=True)))
+        r = float(np.max(rhat(x_p)))
+        mean_logp = float(np.mean(logp_p))
+        out = {
+            'leg': 'mcmc', 'seed': seed, 'n_chain': args.n_chain,
+            'n_iter': args.n_iter, 'n_warmup': args.n_warmup,
+            'n_call': int(tt.n_call), 'n_q': n_q,
+            **res,
+            'tau_mean': tau, 'rhat_max': r, 'mean_logp': mean_logp,
+            'wall_sample_s': round(t_sample, 1),
+            'wall_evidence_s': round(t_evidence, 1),
+        }
+        print(json.dumps(out), flush=True)
+        outs.append(out)
+    return outs
 
 
 def main():
@@ -210,11 +225,13 @@ def main():
     p.add_argument('--n-q', type=int, default=100_000)
 
     p = sub.add_parser('mcmc')
-    p.add_argument('--seed', type=int, required=True)
+    p.add_argument('--seeds', required=True,
+                   help='comma-separated generator seeds')
     p.add_argument('--n-chain', type=int, default=8)
     p.add_argument('--n-iter', type=int, default=2500)
     p.add_argument('--n-warmup', type=int, default=1000)
     p.add_argument('--n-q', type=int, default=None)
+    p.add_argument('--estimators', default='gbs')
 
     args = ap.parse_args()
     {'fiducial': leg_fiducial, 'iid': leg_iid, 'mcmc': leg_mcmc}[args.leg](
