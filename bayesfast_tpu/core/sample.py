@@ -33,6 +33,167 @@ from .density import Density, DensityLite
 __all__ = ['sample']
 
 
+def _descend_x0(density, x_0, trace, dtype):
+    """Batched gradient-ascent refinement of the starting points.
+
+    Auto-drawn Sobol starts land wherever the prior volume puts them — for
+    stiff bounded densities that can be |logp| ~ 1e6, where (a) warmup
+    occasionally strands a chain in the far tail for the whole run (observed
+    on banana-32 at the reference configuration: seed-dependent stuck chains
+    with split-R-hat ~ 1.3 and a +0.3 bias on the GBS logz), and (b) float32
+    energy differences round away entirely, breaking adaptation on the
+    chip-native dtype. A short lockstep Adam ascent on the transformed logp
+    moves every chain into the O(1)-curvature region first; each chain
+    freezes as soon as its per-step gain drops below ``gain_tol`` (the scale
+    where MC moves matter), so starts stay overdispersed rather than
+    collapsing onto the mode.
+
+    Returns ``(x_opt, n_evals)`` where ``n_evals`` is the per-chain count of
+    density evaluations actually executed (for exact n_call accounting).
+    """
+    opts = trace.x_0_descent
+    opts = dict(opts) if isinstance(opts, dict) else {}
+    n_steps = int(opts.get('n_steps', 5000))
+    lr = float(opts.get('lr', 0.3))
+    gain_tol = float(opts.get('gain_tol', 0.1))
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8
+
+    lpg = density.device_logp_and_grad(original_space=False)
+    params = density.current_params()
+
+    @jax.jit
+    def run(x):
+        lpg_b = jax.vmap(lambda xx: lpg(params, xx))
+        lp0, g0 = lpg_b(x)
+        frozen0 = ~jnp.isfinite(lp0)
+        zeros = jnp.zeros_like(x)
+        scale0 = jnp.ones(x.shape[0], x.dtype)
+        init = (x, zeros, zeros, lp0, g0, scale0, frozen0, jnp.int32(0))
+
+        def cond(c):
+            return (c[7] < n_steps) & jnp.any(~c[6])
+
+        def body(c):
+            x, m, v, lp, g, scale, frozen, t = c
+            m_new = b1 * m + (1 - b1) * g
+            v_new = b2 * v + (1 - b2) * g * g
+            tt = (t + 1).astype(x.dtype)
+            m_hat = m_new / (1 - b1 ** tt)
+            v_hat = v_new / (1 - b2 ** tt)
+            x_prop = x + (lr * scale)[:, None] * m_hat / (
+                jnp.sqrt(v_hat) + eps_adam)
+            lp_new, g_new = lpg_b(x_prop)
+            gain = lp_new - lp
+            # per-chain backtracking: a finite, improving step advances the
+            # state and relaxes the rate; an overshooting or non-finite one
+            # is rejected, halves the rate and drops the stale momentum
+            good = ~frozen & jnp.isfinite(lp_new) & (gain > 0)
+            bad = ~frozen & ~good
+            x = jnp.where(good[:, None], x_prop, x)
+            g = jnp.where(good[:, None], g_new, g)
+            lp = jnp.where(good, lp_new, lp)
+            m = jnp.where(bad[:, None], 0.0, m_new)
+            v = jnp.where(bad[:, None], v, v_new)
+            scale = jnp.where(bad, scale * 0.5,
+                              jnp.minimum(scale * 1.25, 1.0))
+            # converged: accepted steps stopped gaining, or the rate
+            # backtracked to nothing
+            frozen = frozen | (good & (gain < gain_tol)) | (scale < 1e-6)
+            return (x, m, v, lp, g, scale, frozen, t + 1)
+
+        x, _, _, lp, _, _, _, t = jax.lax.while_loop(cond, body, init)
+        return x, lp, t
+
+    x_opt, lp, t = run(jnp.asarray(x_0, dtype))
+    return np.asarray(x_opt), int(t) + 1
+
+
+def _find_reasonable_step(density, x_0, trace, dtype, step0):
+    """Per-chain 'find reasonable epsilon' probe (Stan's initialization,
+    absent from the reference/pymc3 lineage).
+
+    One batched leapfrog from each start measures the single-step
+    acceptance; the step then doubles (acceptance > 0.5) or halves
+    (acceptance < 0.5, or non-finite energy) until it crosses 0.5, per
+    chain in lockstep. Without this, a divergent very first iteration sends
+    dual averaging to ~1e-8 and — because ``mu = log(10 * step0)`` anchors
+    the recovery — the step never climbs back, freezing the chain and
+    collapsing its Welford metric (the stuck-chain mode documented in
+    ``examples/banana_study.py``). float32 cold starts hit this on every
+    chain; float64 hits it seed-dependently.
+
+    Returns ``(eps, n_evals)``: per-chain reasonable steps and the count of
+    density evaluations executed.
+    """
+    from ..samplers import nuts as _nuts
+    from ..samplers.metrics import init_diag_metric, init_full_metric
+
+    metric = trace.metric
+    dim = x_0.shape[-1]
+    if isinstance(metric, str):
+        metric_arr = (np.ones(dim) if metric == 'diag' else np.eye(dim))
+    else:
+        metric_arr = np.asarray(metric)
+    if metric_arr.ndim == 1:
+        mstate = init_diag_metric(jnp.zeros(dim, dtype),
+                                  jnp.asarray(metric_arr, dtype))
+    else:
+        mstate = init_full_metric(jnp.zeros(dim, dtype),
+                                  jnp.asarray(metric_arr, dtype))
+    metric_t = _nuts._metric_t(mstate)
+
+    lpg = density.device_logp_and_grad(original_space=False)
+    params = density.current_params()
+    key = jax.random.fold_in(trace.random_generator, 0xf1d)
+    n_steps = 60  # eps spans 2^60 at most — far past any useful range
+
+    @jax.jit
+    def run(x):
+        lpg_b = jax.vmap(lambda xx: lpg(params, xx))
+
+        def lpg_t(x_t):
+            lp, g = lpg_b(x_t.T)
+            return lp, g.T
+
+        C = x.shape[0]
+        from ..samplers.metrics import sample_momentum_b
+        mb = jax.tree.map(lambda l: jnp.asarray(l, dtype), mstate)
+        p0 = sample_momentum_b(mb, key, (C, dim), dtype)
+        s0 = _nuts.compute_state_t(metric_t, lpg_t, x.T, p0.T)
+
+        def accept_of(eps):
+            s1 = _nuts.leapfrog_t(metric_t, lpg_t, eps, s0)
+            d_energy = s1.energy - s0.energy
+            return jnp.where(jnp.isfinite(d_energy),
+                             jnp.exp(-jnp.minimum(d_energy, 80.0)), 0.0)
+
+        eps = jnp.full((C,), float(step0), dtype)
+        a = accept_of(eps)
+        d = jnp.where(a > 0.5, 1.0, -1.0).astype(dtype)
+
+        def cond(c):
+            eps, frozen, t = c
+            return (t < n_steps) & jnp.any(~frozen)
+
+        def body(c):
+            eps, frozen, t = c
+            eps_new = jnp.where(frozen, eps, eps * jnp.exp2(d))
+            a_new = accept_of(eps_new)
+            crossed = jnp.where(d > 0, a_new <= 0.5, a_new > 0.5)
+            # on a downward search keep the first acceptable (crossed) step;
+            # on an upward search the crossing step overshot — keep it
+            # anyway (Stan does), dual averaging corrects from there
+            eps = jnp.where(frozen, eps, eps_new)
+            return (eps, frozen | crossed, t + 1)
+
+        eps, _, t = jax.lax.while_loop(
+            cond, body, (eps, jnp.zeros((C,), bool), jnp.int32(0)))
+        return eps, t
+
+    eps, t = run(jnp.asarray(x_0, dtype))
+    return np.asarray(eps), int(t) + 2  # init state + first probe
+
+
 def _resolve_trace(sample_trace, sampler):
     if isinstance(sample_trace, TNTrace):
         return sample_trace, 'TNUTS'
@@ -59,7 +220,7 @@ def _resolve_trace(sample_trace, sampler):
     raise ValueError('unexpected value for sample_trace.')
 
 
-def _init_carry(trace, x_0, dtype, tempered=False, algo=None):
+def _init_carry(trace, x_0, dtype, tempered=False, algo=None, eps_0=None):
     """Build the batched per-chain carry (RNG keys, q, step size, metric).
 
     For tempered samplers the position vector is extended to ``[u, q...]``
@@ -79,6 +240,8 @@ def _init_carry(trace, x_0, dtype, tempered=False, algo=None):
 
     step0 = trace.step_size if trace.step_size is not None else 1.0
     step0 = step0 / dim ** 0.25  # ``sample_trace.py:365-373``
+    if eps_0 is not None and algo == 'chees':
+        step0 = float(np.exp(np.mean(np.log(eps_0))))  # shared chees state
     if algo == 'chees':
         # shared scalar adaptation state (step size + trajectory length);
         # copy every leaf: jax dedupes equal scalar constants into one
@@ -87,6 +250,12 @@ def _init_carry(trace, x_0, dtype, tempered=False, algo=None):
         from ..samplers.chees import init_chees_adapt
         ss = jax.tree.map(lambda a: jnp.array(a, copy=True),
                           init_chees_adapt(step0, trace.traj_len_0, dtype))
+    elif eps_0 is not None:
+        # per-chain reasonable steps from the pre-adaptation probe; copy
+        # each leaf — log_step/log_bar start equal and would otherwise
+        # alias one buffer, breaking carry donation
+        ss = jax.tree.map(jnp.copy, jax.vmap(
+            lambda e: init_step_size(e, dtype))(jnp.asarray(eps_0, dtype)))
     else:
         ss = jax.vmap(lambda _: init_step_size(
             jnp.asarray(step0, dtype), dtype))(jnp.arange(n_chain))
@@ -187,6 +356,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     dtype = get_dtype()
 
     # ------- starting points (``sample.py:102-116``) -------
+    x_0_auto = trace.x_0 is None
     if trace.x_0 is None:
         dim = density.input_size
         if dim is None:
@@ -209,6 +379,15 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         idx = np.asarray(jax.random.randint(
             pick_key, (trace.n_chain,), 0, x_0.shape[0]))
         x_0 = x_0[idx]
+
+    # ------- start refinement (fresh gradient-sampler runs only) -------
+    descent = getattr(trace, 'x_0_descent', False)
+    if descent == 'auto':
+        descent = x_0_auto
+    if (descent and trace._carry is None and not trace.chain_initialized
+            and sampler != 'Ensemble'):
+        x_0, n_evals = _descend_x0(density, x_0, trace, dtype)
+        trace._descent_calls = trace.n_chain * n_evals
 
     # ------- iteration bookkeeping (``base_hmc.py:98-111``) -------
     i_iter = trace.i_iter
@@ -271,7 +450,14 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)
     else:
-        carry = _init_carry(trace, x_0, dtype, tempered, algo)
+        eps_0 = None
+        if getattr(trace, 'step_probe', False):
+            step0 = trace.step_size if trace.step_size is not None else 1.0
+            step0 = step0 / x_0.shape[-1] ** 0.25
+            eps_0, n_ev = _find_reasonable_step(density, x_0, trace, dtype,
+                                                step0)
+            trace._descent_calls += trace.n_chain * n_ev
+        carry = _init_carry(trace, x_0, dtype, tempered, algo, eps_0)
         trace._chain_initialized = True
     carry = shard_chains(carry, trace.n_chain, mesh)
 
@@ -331,6 +517,17 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         print(f' CHAINS [0-{trace.n_chain - 1}] : sampling finished '
               f'[ {trace.i_iter} / {trace.n_iter} ], obtained {n_run} '
               f'samples per chain in {t_f:.2f} seconds.')
+
+    if 'tree_depth' in stats_arrays:
+        post = stats_arrays['tree_depth'][:, trace.n_warmup:]
+        max_td = getattr(trace, 'max_treedepth', 10)
+        if post.size and np.mean(post >= max_td) > 0.5:
+            warnings.warn(
+                'more than half of the post-warmup NUTS trees hit '
+                f'max_treedepth={max_td}: the adapted step size is too small '
+                'for full trajectories (common for very stiff targets in '
+                'float32). Consider raising max_treedepth, running in '
+                'float64, or reparametrizing.', RuntimeWarning)
 
     if not np.all(stats_arrays['warmup'][:, -1:]):
         # post-warmup acceptance check per chain (``step_size.py:53-68``);

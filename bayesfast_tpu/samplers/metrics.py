@@ -148,19 +148,22 @@ def update_metric(metric, sample, warmup, update_window=1, doubling=True):
     bg = _welford_add(metric.bg, sample, full)
 
     do_refresh = ((delta + 1) % update_window) == 0
+    # Stan-style shrinkage at every refresh: blend the sample estimate
+    # toward 1e-3 x identity with pseudo-count 5. A bare sample estimate
+    # collapses to ~0 for chains that barely moved during the window
+    # (far-tail cold starts), which zeroes their velocities and freezes
+    # them forever; the regularizer keeps every chain recoverable while
+    # still letting genuine geometry shrink the metric by ~weight/5 per
+    # window.
     if full:
-        cov_new = fg.raw / fg.weight
+        eye = jnp.eye(dim, dtype=dtype)
+        cov_new = (fg.raw + 5e-3 * eye) / (fg.weight + 5.0)
         chol_new = jnp.linalg.cholesky(cov_new)
         chol_ok = jnp.all(jnp.isfinite(chol_new))
         cov = jnp.where(do_refresh, cov_new, metric.cov)
         chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
     else:
-        # floor: stuck chains (e.g. during a far-tail cold start) produce
-        # exactly-zero sample variance at a window switch, and var = 0
-        # means infinite momenta and a permanently dead chain. The kinetic
-        # energy is var-free (K = z^2/2), so a tiny floor keeps the chain
-        # alive and lets dual averaging recover it.
-        var = jnp.where(do_refresh, jnp.maximum(fg.raw / fg.weight, 1e-20),
+        var = jnp.where(do_refresh, (fg.raw + 5e-3) / (fg.weight + 5.0),
                         metric.var)
 
     do_switch = delta >= metric.adapt_window
@@ -221,15 +224,16 @@ def update_metric_pooled(metric, samples, warmup, update_window=1,
     bg = _welford_add_batch(metric.bg, samples, full)
 
     do_refresh = ((delta + 1) % update_window) == 0
+    # same Stan-style shrinkage as the per-chain update
     if full:
-        cov_new = fg.raw / fg.weight
+        eye = jnp.eye(dim, dtype=dtype)
+        cov_new = (fg.raw + 5e-3 * eye) / (fg.weight + 5.0)
         chol_new = jnp.linalg.cholesky(cov_new)
         chol_ok = jnp.all(jnp.isfinite(chol_new))
         cov = jnp.where(do_refresh, cov_new, metric.cov)
         chol = jnp.where(do_refresh & chol_ok, chol_new, metric.chol)
     else:
-        # same zero-variance floor as the per-chain update
-        var = jnp.where(do_refresh, jnp.maximum(fg.raw / fg.weight, 1e-20),
+        var = jnp.where(do_refresh, (fg.raw + 5e-3) / (fg.weight + 5.0),
                         metric.var)
 
     do_switch = delta >= metric.adapt_window

@@ -208,8 +208,17 @@ class _HTrace(SampleTrace):
                  metric='diag', adapt_metric=True, max_change=1000.,
                  target_accept=0.8, gamma=0.05, k=0.75, t_0=10.,
                  initial_mean=None, initial_weight=10., adapt_window=60,
-                 update_window=1, doubling=True, pooled_metric=False):
+                 update_window=1, doubling=True, pooled_metric=False,
+                 x_0_descent='auto', step_probe=True):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator)
+        # batched gradient-ascent start refinement (core.sample._descend_x0):
+        # 'auto' = on for auto-drawn Sobol starts, off for user-supplied x_0;
+        # True/False force it; a dict sets n_steps/lr/gain_tol
+        self.x_0_descent = x_0_descent
+        # per-chain 'find reasonable epsilon' probe before dual averaging
+        # (core.sample._find_reasonable_step)
+        self.step_probe = bool(step_probe)
+        self._descent_calls = 0
         self.pooled_metric = bool(pooled_metric)
         self.max_change = max_change
         self.step_size = step_size
@@ -361,19 +370,21 @@ class HTrace(_HTrace):
                  max_change=1000., target_accept=0.8, gamma=0.05, k=0.75,
                  t_0=10., initial_mean=None, initial_weight=10.,
                  adapt_window=60, update_window=1, doubling=True,
-                 pooled_metric=False):
+                 pooled_metric=False, x_0_descent='auto', step_probe=True):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
                          step_size, adapt_step_size, metric, adapt_metric,
                          max_change, target_accept, gamma, k, t_0,
                          initial_mean, initial_weight, adapt_window,
-                         update_window, doubling, pooled_metric)
+                         update_window, doubling, pooled_metric,
+                         x_0_descent, step_probe)
         self.n_int_step = int(n_int_step)
 
     @property
     def n_call(self):
         """Total density-call count over all chains
         (``sample_trace.py:487-496``: per chain n_iter*(n_int_step+1) + 1)."""
-        return self.n_chain * (self.n_iter * (self.n_int_step + 1) + 1)
+        return (self.n_chain * (self.n_iter * (self.n_int_step + 1) + 1)
+                + self._descent_calls)
 
 
 class CTrace(_HTrace):
@@ -392,12 +403,13 @@ class CTrace(_HTrace):
                  chees_lr=0.025, target_accept=0.651, gamma=0.05, k=0.75,
                  t_0=10., initial_mean=None, initial_weight=10.,
                  adapt_window=60, update_window=1, doubling=True,
-                 pooled_metric=False):
+                 pooled_metric=False, x_0_descent='auto', step_probe=True):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
                          step_size, adapt_step_size, metric, adapt_metric,
                          max_change, target_accept, gamma, k, t_0,
                          initial_mean, initial_weight, adapt_window,
-                         update_window, doubling, pooled_metric)
+                         update_window, doubling, pooled_metric,
+                         x_0_descent, step_probe)
         self.traj_len_0 = float(traj_len_0)
         self.adapt_traj_len = bool(adapt_traj_len)
         self.max_leapfrogs = int(max_leapfrogs)
@@ -408,7 +420,8 @@ class CTrace(_HTrace):
         """Total density calls across chains: every iteration evaluates the
         density n_int_step times per chain, plus the initial state."""
         ns = self._stats_arrays['n_int_step']
-        return int(np.sum(ns) + self.n_chain * (self.i_iter + 1))
+        return int(np.sum(ns) + self.n_chain * (self.i_iter + 1)
+                   + self._descent_calls)
 
 
 class NTrace(_HTrace):
@@ -422,12 +435,13 @@ class NTrace(_HTrace):
                  max_treedepth=10, target_accept=0.8, gamma=0.05, k=0.75,
                  t_0=10., initial_mean=None, initial_weight=10.,
                  adapt_window=60, update_window=1, doubling=True,
-                 pooled_metric=False):
+                 pooled_metric=False, x_0_descent='auto', step_probe=True):
         super().__init__(n_chain, n_iter, n_warmup, x_0, random_generator,
                          step_size, adapt_step_size, metric, adapt_metric,
                          max_change, target_accept, gamma, k, t_0,
                          initial_mean, initial_weight, adapt_window,
-                         update_window, doubling, pooled_metric)
+                         update_window, doubling, pooled_metric,
+                         x_0_descent, step_probe)
         self.max_treedepth = int(max_treedepth)
 
     @property
@@ -435,7 +449,8 @@ class NTrace(_HTrace):
         """Total density calls across chains (``sample_trace.py:528-537``):
         per chain, sum(tree_size[1:]) + n_iter + 1."""
         ts = self._stats_arrays['tree_size']
-        return int(np.sum(ts[:, 1:]) + self.n_chain * (self.i_iter + 1))
+        return int(np.sum(ts[:, 1:]) + self.n_chain * (self.i_iter + 1)
+                   + self._descent_calls)
 
 
 class _TTraceMixin:

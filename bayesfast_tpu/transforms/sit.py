@@ -247,6 +247,7 @@ class SIT:
             if n_run > self.n_iter - self.i_iter:
                 self.n_iter = self.i_iter + n_run
 
+        plot = int(plot)
         for _ in range(n_run):
             try:
                 y, A, B, m = self._ica(self._data)
@@ -270,6 +271,10 @@ class SIT:
                               RuntimeWarning)
             self._data = self._data[finite_index, :]
             self._weights = self._weights[finite_index]
+            if plot > 0 and not (self.i_iter % plot):
+                self.triangle_plot()
+        if plot < 0:
+            self.triangle_plot()
 
     # ------------- transforms -------------
 
@@ -376,5 +381,50 @@ class SIT:
         const = -0.5 * np.log(2 * np.pi)
         return np.sum(const - 0.5 * y ** 2, axis=-1) + log_j
 
-    def triangle_plot(self, *args, **kwargs):
-        raise NotImplementedError('plotting requires getdist; not bundled.')
+    def triangle_plot(self, show=True):
+        """Corner plot of the current (partially Gaussianized) data —
+        parity with ``sit.py:346-364``. Uses getdist when installed,
+        otherwise a matplotlib fallback (1-d histograms on the diagonal,
+        2-d histograms below); returns the figure."""
+        if 0 < self.m_plot < self.dim:
+            plot_data = self._data[:, :self.m_plot]
+        else:
+            plot_data = self._data
+        title = (f'triangle plot after iteration {self.i_iter}'
+                 if self.i_iter else 'triangle plot for the initial data')
+        try:
+            from getdist import plots, MCSamples
+            import matplotlib.pyplot as plt
+            samples = MCSamples(samples=plot_data)
+            g = plots.getSubplotPlotter()
+            g.triangle_plot([samples], filled=True,
+                            contour_args={'alpha': 0.8},
+                            diag1d_kwargs={'normalized': True})
+            plt.suptitle(title, fontsize=plot_data.shape[-1] * 4, ha='left')
+            fig = plt.gcf()
+        except ImportError:
+            import matplotlib.pyplot as plt
+            d = plot_data.shape[-1]
+            fig, axes = plt.subplots(d, d, figsize=(2 * d, 2 * d),
+                                     squeeze=False)
+            for i in range(d):
+                for j in range(d):
+                    ax = axes[i][j]
+                    if j > i:
+                        ax.set_axis_off()
+                    elif i == j:
+                        ax.hist(plot_data[:, i], bins=40, density=True,
+                                histtype='step')
+                    else:
+                        ax.hist2d(plot_data[:, j], plot_data[:, i], bins=40,
+                                  cmap='Blues')
+                    if i < d - 1:
+                        ax.set_xticklabels([])
+                    if j > 0:
+                        ax.set_yticklabels([])
+            fig.suptitle(title)
+            fig.tight_layout()
+        if show:
+            import matplotlib.pyplot as plt
+            plt.show()
+        return fig

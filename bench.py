@@ -1,17 +1,24 @@
-"""Benchmark: batched NUTS warmup throughput on the 32-d Banana density.
+"""Benchmark: batched NUTS on the 32-d Banana density (BASELINE.md flagship).
 
-Reference anchor (BASELINE.md): the bayesfast banana-gbs example runs 8
-chains on an 8-process Cori node at ~11 warmup iterations/sec/chain, i.e.
-~88 iterations/sec aggregate. Here the same density (D=32, Q=0.01, hard
-bounds [-15, 15], random SO(32) rotation, identical NUTS configuration)
-runs as one jitted program with the chain axis vmapped on a single chip.
+Reference anchor: the bayesfast banana-gbs example runs 8 chains on an
+8-process Cori node at ~11 warmup iterations/sec/chain (~88 it/s aggregate).
+Here the same density (D=32, Q=0.01, hard bounds [-15, 15], random SO(32)
+rotation, identical NUTS configuration) runs as one jitted float32 program
+with the chain axis batched on a single chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Unlike round 1, the chains start from the honest raw Sobol cold start: the
+framework's start-descent + reasonable-step probe (exact-n_call-accounted
+features, see ``core.sample``) handle the |logp| ~ 3e6 landing zone that
+float32 energies cannot resolve. Warmup throughput is the headline
+(vs_baseline); the JSON line also carries post-warmup ESS/sec/chip (the
+BASELINE.json north-star metric), leapfrogs/sec, mean tree depth, and an
+HBM-bandwidth estimate under "extra".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -21,17 +28,17 @@ def main():
     import jax
     import jax.numpy as jnp
     import bayesfast_tpu as bf
+    from bayesfast_tpu.utils.acor import effective_sample_size
 
     n_chain = int(os.environ.get('BENCH_N_CHAIN', 1024))
-    n_iter = int(os.environ.get('BENCH_N_ITER', 500))
+    n_warmup = int(os.environ.get('BENCH_N_WARMUP', 500))
+    n_post = int(os.environ.get('BENCH_N_POST', 500))
 
     D, Q = 32, 0.01
     lower = np.full(D, -15.)
     upper = np.full(D, 15.)
     bound = np.stack((lower, upper)).T
-    diff = upper - lower
-    const = float(np.sum(np.log(diff)))
-    rng = np.random.default_rng(0)
+    const = float(np.sum(np.log(upper - lower)))
     from scipy.stats import special_ortho_group
     A = jnp.asarray(special_ortho_group.rvs(D, random_state=0),
                     dtype=jnp.float32)
@@ -45,33 +52,51 @@ def main():
     den = bf.DensityLite(logp=logp, input_size=D, input_scales=bound,
                          hard_bounds=True)
 
-    # Start near the typical set: the sobol N(0, I) cold start lands at
-    # |logp| ~ 3e6 where float32 energy differences lose the adaptation
-    # signal (the f64 path escapes fine but is ~12x slower — see
-    # examples/banana_gbs.py). The equilibrium warmup workload (adapted
-    # step size -> tree depth ~8-9) is the same either way, so this
-    # measures the same per-iteration work as the reference's healthy
-    # warmup, in the dtype the chip is built for.
-    x_0 = 0.05 * np.asarray(bf.utils.sobol.multivariate_normal(
-        np.zeros(D), np.eye(D), n_chain))
+    trace = bf.NTrace(n_chain=n_chain, n_iter=n_warmup + n_post,
+                      n_warmup=n_warmup)
 
-    # warm up compile with a tiny run on the same driver configuration
-    trace = bf.NTrace(n_chain=n_chain, n_iter=n_iter + 3, n_warmup=n_iter + 2,
-                      x_0=x_0)
+    # compile + start-descent + probe warm pass (2 iterations)
     tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
 
     t0 = time.time()
-    bf.sample(den, tt, n_run=n_iter, verbose=False, n_update=n_iter)
-    dt = time.time() - t0
+    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
+                   n_update=n_warmup)
+    dt_warm = time.time() - t0
 
-    total_iters = n_chain * n_iter
-    value = total_iters / dt
+    t0 = time.time()
+    tt = bf.sample(den, tt, n_run=n_post, verbose=False, n_update=n_post)
+    dt_post = time.time() - t0
+
+    warm_iters_per_sec = n_chain * (n_warmup - 2) / dt_warm
     baseline = 88.0  # 8 chains x ~11 warmup it/s/chain on the Cori node
+
+    # post-warmup effective samples per second on this one chip
+    s = tt.get(flatten=False)                      # (chain, iter, dim)
+    ess = float(np.sum(effective_sample_size(s)) / s.shape[-1])
+    ess_per_sec = ess / dt_post
+
+    st = tt.trace._stats_arrays
+    depth_post = float(np.mean(st['tree_depth'][:, n_warmup:]))
+    size_post = float(np.mean(st['tree_size'][:, n_warmup:]))
+    leapfrogs_per_sec = n_chain * n_post * size_post / dt_post
+    # each leapfrog touches ~8 (D, C) f32 state arrays in HBM
+    hbm_gbs = leapfrogs_per_sec * 8 * D * 4 / 1e9
+
     print(json.dumps({
         'metric': 'banana32_nuts_warmup_iters_per_sec',
-        'value': round(value, 2),
+        'value': round(warm_iters_per_sec, 2),
         'unit': 'iterations/sec (all chains, 1 chip)',
-        'vs_baseline': round(value / baseline, 3),
+        'vs_baseline': round(warm_iters_per_sec / baseline, 3),
+        'extra': {
+            'n_chain': n_chain,
+            'ess_per_sec_per_chip': round(ess_per_sec, 1),
+            'post_iters_per_sec': round(n_chain * n_post / dt_post, 1),
+            'mean_tree_depth_post': round(depth_post, 2),
+            'mean_tree_size_post': round(size_post, 1),
+            'leapfrogs_per_sec': round(leapfrogs_per_sec, 0),
+            'hbm_gb_per_sec_estimate': round(hbm_gbs, 1),
+            'n_call': int(tt.n_call),
+        },
     }))
 
 

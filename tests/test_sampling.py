@@ -57,7 +57,10 @@ def test_hmc_gaussian_moments():
     assert np.abs(np.cov(s, rowvar=False) - cov).max() < 0.6
     assert np.abs(s.mean(axis=0)).max() < 0.25
     assert tt.sampler == 'HMC'
-    assert tt.n_call == 8 * (3000 * 25 + 1)
+    # exact accounting: iterations + initial state + the start-descent and
+    # step-probe evaluations recorded by the trace
+    assert tt.trace._descent_calls > 0
+    assert tt.n_call == 8 * (3000 * 25 + 1) + tt.trace._descent_calls
 
 
 def test_full_metric_adaptation():
