@@ -1,0 +1,247 @@
+"""Full reference-anchor benchmark suite (BASELINE.md rows).
+
+Runs every config the reference publishes numbers for — funnel-16,
+ring-64, cauchy-48, banana-32 (GBS evidence parity + warmup throughput),
+the 2d-donut surrogate Recipe (true-model call budget), and the DES-scale
+polynomial surrogate — on the attached TPU chip, and appends one JSON line
+per config to the output file. ``--render`` turns the collected lines into
+the RESULTS.md table.
+
+Evidence-parity configs run float64 (matching the committed examples; the
+float32 tier is validated separately in ``tests/test_float32.py``), with
+the per-chain reference sampler configuration (2500 iterations, 1000
+warmup) at N_CHAIN chains.
+
+Usage:
+    python benchmarks/suite.py --configs funnel,ring,cauchy,banana
+    python benchmarks/suite.py --configs donut,des
+    python benchmarks/suite.py --render   # writes RESULTS.md
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+RESULTS_PATH = os.path.join(os.path.dirname(__file__), 'results.jsonl')
+
+# BASELINE.md anchors: (fiducial logz, published logz, published err,
+#                       reference aggregate warmup it/s on the Cori node)
+ANCHORS = {
+    'banana': (-127.3640, -127.2756, 0.0534, 88.),
+    'funnel': (-63.4988, -63.4788, 0.0170, 1120.),
+    'ring': (-114.492, -114.4726, 0.0649, 480.),
+    'cauchy': (-254.627, -254.6362, 0.0935, 120.),
+}
+
+
+def _density(name):
+    import jax.numpy as jnp
+    import bayesfast_tpu as bf
+
+    if name == 'banana':
+        from scipy.stats import special_ortho_group
+        D, Q = 32, 0.01
+        bound = np.stack((np.full(D, -15.), np.full(D, 15.))).T
+        const = float(D * np.log(30.))
+        A = jnp.asarray(special_ortho_group.rvs(D, random_state=0))
+
+        def logp(x):
+            z = x @ A.T
+            return (-jnp.sum((z[::2] ** 2 - z[1::2]) ** 2 / Q
+                             + (z[::2] - 1) ** 2) - const)
+        extra = {}
+    elif name == 'funnel':
+        D, a, b = 16, 1., 0.5
+        lower = np.full(D, -30.)
+        upper = np.full(D, 30.)
+        lower[0], upper[0] = -4, 4
+        bound = np.stack((lower, upper)).T
+        const = float(np.sum(np.log(upper - lower)))
+
+        def logp(x):
+            _a = -0.5 * x[0] ** 2 / a ** 2
+            _b = -0.5 * jnp.sum(x[1:] ** 2) * jnp.exp(-2 * b * x[0])
+            _c = (-0.5 * jnp.log(2 * jnp.pi * a ** 2)
+                  - 0.5 * (D - 1) * jnp.log(2 * jnp.pi) - (D - 1) * b * x[0])
+            return _a + _b + _c - const
+        extra = {'target_accept': 0.95}
+    elif name == 'ring':
+        D, a, b = 64, 2., 1.
+        bound = np.stack((np.full(D, -5.), np.full(D, 5.))).T
+        const = float(D * np.log(10.))
+
+        def logp(x):
+            x2 = x * x
+            x2s = jnp.concatenate((x2[-1:], x2, x2[:1]))
+            return -jnp.sum((x2s[:-2] + x2s[1:-1] - a) ** 2 / b) - const
+        extra = {}
+    elif name == 'cauchy':
+        D, a = 48, 5.
+        bound = np.stack((np.full(D, -100.), np.full(D, 100.))).T
+        const = float(D * np.log(200.))
+
+        def logp(x):
+            _a = 1 / ((x + a) ** 2 + 1)
+            _b = 1 / ((x - a) ** 2 + 1)
+            return (jnp.sum(jnp.log(_a + _b)) + D * jnp.log(0.5 / jnp.pi)
+                    - const)
+        extra = {}
+    else:
+        raise ValueError(name)
+    den = bf.DensityLite(logp=logp, input_size=bound.shape[0],
+                         input_scales=bound, hard_bounds=True)
+    return den, extra
+
+
+def run_gbs_config(name, n_chain, n_iter, n_warmup):
+    import bayesfast_tpu as bf
+    from bayesfast_tpu.utils.acor import effective_sample_size, rhat
+
+    fiducial, pub_logz, pub_err, ref_its = ANCHORS[name]
+    den, extra = _density(name)
+    bf.utils.set_generator(sum(map(ord, name)))
+
+    trace = bf.NTrace(n_chain=n_chain, n_iter=n_iter, n_warmup=n_warmup,
+                      **extra)
+    # warm pass: compile + descent + probe (excluded from throughput)
+    tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
+    t0 = time.time()
+    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
+                   n_update=n_warmup)
+    dt_warm = time.time() - t0
+    t0 = time.time()
+    tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
+                   n_update=n_iter)
+    dt_post = time.time() - t0
+
+    s = tt.get(flatten=False)
+    ess = float(np.sum(effective_sample_size(s)) / s.shape[-1])
+    r = float(np.max(rhat(s)))
+
+    t0 = time.time()
+    logz, err = bf.GBS(f_call=0.05, n_q_max=200_000)(tt, den.logp)
+    dt_ev = time.time() - t0
+
+    rec = {
+        'config': name, 'dtype': 'float64', 'n_chain': n_chain,
+        'n_iter': n_iter, 'n_warmup': n_warmup,
+        'warmup_iters_per_sec': round(n_chain * (n_warmup - 2) / dt_warm, 1),
+        'ref_warmup_iters_per_sec': ref_its,
+        'speedup_vs_ref': round(
+            n_chain * (n_warmup - 2) / dt_warm / ref_its, 1),
+        'ess_per_sec_per_chip': round(ess / dt_post, 1),
+        'rhat_max': round(r, 4),
+        'logz': round(float(logz), 4), 'logz_err': round(float(err), 4),
+        'fiducial': fiducial,
+        'published': [pub_logz, pub_err],
+        'sigma_off_fiducial': round(abs(logz - fiducial) / err, 2),
+        'gbs_wall_s': round(dt_ev, 1),
+        'sample_wall_s': round(dt_warm + dt_post, 1),
+        'n_call': int(tt.n_call),
+    }
+    return rec
+
+
+def run_donut():
+    from examples import donut_recipe
+    t0 = time.time()
+    res = donut_recipe.main()
+    r = np.linalg.norm(res.samples, axis=-1)
+    w = res.weights_trunc
+    return {
+        'config': 'donut_recipe', 'dtype': 'float64',
+        'E_r': round(float(np.sum(r * w) / np.sum(w)), 3),
+        'n_call': int(res.n_call), 'ref_n_call': 330,
+        'wall_s': round(time.time() - t0, 1),
+    }
+
+
+def run_des():
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      'poly_fit_bench.py')],
+        capture_output=True, text=True, check=True)
+    lines = [l for l in out.stdout.splitlines() if l.startswith('{')]
+    return {'config': 'des_poly_surrogate',
+            'results': [json.loads(l) for l in lines]}
+
+
+def render():
+    rows = [json.loads(l) for l in open(RESULTS_PATH)]
+    lines = [
+        '# RESULTS — TPU (v5e, 1 chip) vs reference anchors',
+        '',
+        'Produced by `benchmarks/suite.py`; raw records in '
+        '`benchmarks/results.jsonl`. Reference anchors from `BASELINE.md` '
+        '(NERSC Cori node, 8-process pool). Evidence configs run float64 '
+        'at the reference per-chain configuration (2500 iterations, 1000 '
+        'warmup).',
+        '',
+        '| Config | logz (ours) | fiducial | reference run | warmup it/s '
+        '(ours vs ref) | ESS/s/chip | GBS wall |',
+        '|---|---|---|---|---|---|---|',
+    ]
+    for r in rows:
+        if r['config'] in ANCHORS:
+            lines.append(
+                f"| {r['config']} D={ {'banana':32,'funnel':16,'ring':64,'cauchy':48}[r['config']] } "
+                f"x{r['n_chain']} chains | {r['logz']:.3f} ± {r['logz_err']:.3f} "
+                f"({r['sigma_off_fiducial']}σ) | {r['fiducial']} | "
+                f"{r['published'][0]} ± {r['published'][1]} | "
+                f"{r['warmup_iters_per_sec']:.0f} vs {r['ref_warmup_iters_per_sec']:.0f} "
+                f"(**{r['speedup_vs_ref']}x**) | {r['ess_per_sec_per_chip']} | "
+                f"{r['gbs_wall_s']}s |")
+    for r in rows:
+        if r['config'] == 'donut_recipe':
+            lines += ['', f"2d-donut Recipe: E[r] = {r['E_r']} (target 5.0), "
+                          f"n_call = {r['n_call']} true-model calls "
+                          f"(reference: ~{r['ref_n_call']}), "
+                          f"{r['wall_s']}s end to end."]
+    for r in rows:
+        if r['config'] == 'des_poly_surrogate':
+            lines += ['', 'DES-scale polynomial surrogate '
+                          '(27 params, 457 outputs):', '']
+            for item in r['results']:
+                lines.append(f"- `{json.dumps(item)}`")
+    with open(os.path.join(os.path.dirname(RESULTS_PATH), '..',
+                           'RESULTS.md'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    print('\n'.join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--configs', default='')
+    ap.add_argument('--n-chain', type=int, default=64)
+    ap.add_argument('--n-iter', type=int, default=2500)
+    ap.add_argument('--n-warmup', type=int, default=1000)
+    ap.add_argument('--render', action='store_true')
+    args = ap.parse_args()
+
+    if args.render:
+        render()
+        return
+
+    import jax
+    jax.config.update('jax_enable_x64', True)
+
+    for name in [c for c in args.configs.split(',') if c]:
+        if name == 'donut':
+            rec = run_donut()
+        elif name == 'des':
+            rec = run_des()
+        else:
+            rec = run_gbs_config(name, args.n_chain, args.n_iter,
+                                 args.n_warmup)
+        with open(RESULTS_PATH, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == '__main__':
+    main()

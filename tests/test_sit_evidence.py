@@ -148,3 +148,20 @@ def test_bridge_analytic():
     lq2 = -0.5 * z2 ** 2
     logr, err = bridge(lp, lp2, lq, lq2)
     assert abs(logr) < 3 * max(err, 1e-3) + 1e-6
+
+
+def test_triangle_plot_fallback():
+    """triangle_plot must render without getdist (matplotlib corner
+    fallback) and hook into fit(plot=-1)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from bayesfast_tpu.transforms import SIT
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(500, 3)) * [1.0, 2.0, 0.5]
+    sit = SIT(n_iter=1, random_generator=0, m_plot=3)
+    sit.fit(data=data)
+    fig = sit.triangle_plot(show=False)
+    assert len(fig.axes) >= 6  # 3x3 grid, upper triangle hidden
+    plt.close(fig)
