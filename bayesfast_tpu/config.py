@@ -10,9 +10,28 @@ the CPU backend.
 import jax
 import jax.numpy as jnp
 
-__all__ = ['get_dtype', 'set_dtype', 'asarray', 'default_int']
+__all__ = ['get_dtype', 'set_dtype', 'asarray', 'default_int',
+           'kde_on_device', 'set_kde_device']
 
 _dtype = None  # lazily resolved
+_kde_device = None  # None = auto (on whenever an accelerator is attached)
+
+
+def kde_on_device():
+    """Whether bulk KDE-cdf evaluations (the SIT fit inner loop) run as
+    float32 device kernels instead of the host C/OpenMP path. Auto mode
+    turns this on when the default backend is an accelerator — the hosts
+    driving TPUs are often few-core VMs where the O(n_x * n_data) host sum
+    dominates the whole evidence phase."""
+    if _kde_device is not None:
+        return _kde_device
+    return jax.default_backend() != 'cpu'
+
+
+def set_kde_device(mode):
+    """Force (True/False) or re-enable auto (None) device KDE-cdf."""
+    global _kde_device
+    _kde_device = None if mode is None else bool(mode)
 
 
 def get_dtype():

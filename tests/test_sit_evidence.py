@@ -165,3 +165,27 @@ def test_triangle_plot_fallback():
     fig = sit.triangle_plot(show=False)
     assert len(fig.axes) >= 6  # 3x3 grid, upper triangle hidden
     plt.close(fig)
+
+
+def test_device_kde_fit_matches_host():
+    """The float32 device KDE-cdf fit path (used automatically on
+    accelerator-backed hosts) must reproduce the float64 host fits."""
+    from bayesfast_tpu import config as bfc
+    from bayesfast_tpu.transforms import SIT
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    data = np.stack([rng.normal(size=n) ** 3, rng.gamma(2, size=n),
+                     rng.standard_t(3, size=n)], axis=1)
+    outs = {}
+    try:
+        for mode in (False, True):
+            bfc.set_kde_device(mode)
+            sit = SIT(n_iter=3, random_generator=3)
+            sit.fit(data=data)
+            outs[mode] = sit.logq(data[:2000])
+    finally:
+        bfc.set_kde_device(None)
+    d = outs[True] - outs[False]
+    assert np.abs(d).mean() < 0.01
+    assert abs(d.mean()) < 1e-3
