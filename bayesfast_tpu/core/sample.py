@@ -518,6 +518,18 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
               f'[ {trace.i_iter} / {trace.n_iter} ], obtained {n_run} '
               f'samples per chain in {t_f:.2f} seconds.')
 
+    if 'diverging' in stats_arrays:
+        post_div = stats_arrays['diverging'][:, trace.n_warmup:]
+        if post_div.size:
+            frac = float(np.mean(post_div))
+            if frac > 0.05:
+                warnings.warn(
+                    f'{frac:.1%} of post-warmup transitions diverged: the '
+                    'posterior has geometry the adapted step size cannot '
+                    'integrate (results may be biased toward the bulk). '
+                    'Consider a higher target_accept, a reparametrization, '
+                    'or float64.', RuntimeWarning)
+
     if 'tree_depth' in stats_arrays:
         post = stats_arrays['tree_depth'][:, trace.n_warmup:]
         max_td = getattr(trace, 'max_treedepth', 10)

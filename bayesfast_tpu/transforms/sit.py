@@ -279,8 +279,10 @@ class SIT:
     # ------------- transforms -------------
 
     # rows per device pass: keeps the evidence phase (millions of proposal
-    # points through 10+ flow layers) memory-bounded on a single chip
-    _chunk_rows = 1 << 18
+    # points through 10+ flow layers) memory-bounded on a single chip and
+    # each device program short (large float64 flow programs measured
+    # unstable through the remote-TPU tunnel)
+    _chunk_rows = 1 << 16
 
     def _stacked(self):
         """Stack every layer's padded spline set + rotation into (L, ...)

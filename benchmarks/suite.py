@@ -122,7 +122,7 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup):
     r = float(np.max(rhat(s)))
 
     t0 = time.time()
-    logz, err = bf.GBS(f_call=0.05, n_q_max=200_000)(tt, den.logp)
+    logz, err = bf.GBS(f_call=0.05, n_q_max=100_000)(tt, den.logp)
     dt_ev = time.time() - t0
 
     rec = {
@@ -230,14 +230,20 @@ def main():
     import jax
     jax.config.update('jax_enable_x64', True)
 
+    import traceback
     for name in [c for c in args.configs.split(',') if c]:
-        if name == 'donut':
-            rec = run_donut()
-        elif name == 'des':
-            rec = run_des()
-        else:
-            rec = run_gbs_config(name, args.n_chain, args.n_iter,
-                                 args.n_warmup)
+        try:
+            if name == 'donut':
+                rec = run_donut()
+            elif name == 'des':
+                rec = run_des()
+            else:
+                rec = run_gbs_config(name, args.n_chain, args.n_iter,
+                                     args.n_warmup)
+        except Exception:
+            traceback.print_exc()
+            print(f'config {name} FAILED; continuing.', flush=True)
+            continue
         with open(RESULTS_PATH, 'a') as f:
             f.write(json.dumps(rec) + '\n')
         print(json.dumps(rec), flush=True)
