@@ -40,6 +40,10 @@ def bench_config(name, model, D, n_fit, n_eval_batch, rng):
 
     t0 = time.time()
     model.fit(x, y)
+    t_fit_first = time.time() - t0  # includes lstsq program compilation
+    # steady-state refit (what Recipe repeats every iteration)
+    t0 = time.time()
+    model.fit(x, y)
     t_fit = time.time() - t0
 
     xe = jnp.asarray(rng.normal(size=(n_eval_batch, D)), jnp.float32)
@@ -59,6 +63,7 @@ def bench_config(name, model, D, n_fit, n_eval_batch, rng):
     print(json.dumps({
         'bench': name, 'n_param_per_out': int(model.n_param),
         'fit_sec': round(t_fit, 3),
+        'fit_first_sec_incl_compile': round(t_fit_first, 3),
         'eval_batch': n_eval_batch,
         'eval_sec': round(t_eval, 5),
         'surrogate_evals_per_sec': round(evals_per_sec, 1),

@@ -109,12 +109,14 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup):
     # warm pass: compile + descent + probe (excluded from throughput)
     tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
     t0 = time.time()
+    # moderate scan chunks: minutes-long single device programs are
+    # unstable through the remote-TPU tunnel
     tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
-                   n_update=n_warmup)
+                   n_update=100)
     dt_warm = time.time() - t0
     t0 = time.time()
     tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
-                   n_update=n_iter)
+                   n_update=100)
     dt_post = time.time() - t0
 
     s = tt.get(flatten=False)
