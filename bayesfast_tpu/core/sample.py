@@ -433,19 +433,28 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             lp, g = _f(params, x)
             return lp + _xi, g  # ``base_hmc.py:228-231``
 
-    driver = ChainDriver(
-        density.device_logp_and_grad(original_space=False), algorithm=algo,
-        max_treedepth=getattr(trace, 'max_treedepth', 10),
-        n_int_step=getattr(trace, 'n_int_step', 32),
-        max_change=trace.max_change, target_accept=trace.target_accept,
-        gamma=trace.gamma, k=trace.k, t_0=trace.t_0,
-        adapt_step_size=trace.adapt_step_size,
-        update_window=trace.update_window, doubling=trace.doubling,
-        adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg,
-        pooled_metric=getattr(trace, 'pooled_metric', False),
-        max_leapfrogs=getattr(trace, 'max_leapfrogs', 1024),
-        adapt_traj_len=getattr(trace, 'adapt_traj_len', True),
-        chees_lr=getattr(trace, 'chees_lr', 0.025))
+    # reuse the compiled driver across continuation calls on the same
+    # (trace, density) pair — a fresh ChainDriver would recompile the whole
+    # sampling program every bf.sample invocation
+    cached = getattr(trace, '_driver_cache', None)
+    if cached is not None and cached[0] == (id(density), algo):
+        driver = cached[1]
+    else:
+        driver = ChainDriver(
+            density.device_logp_and_grad(original_space=False),
+            algorithm=algo,
+            max_treedepth=getattr(trace, 'max_treedepth', 10),
+            n_int_step=getattr(trace, 'n_int_step', 32),
+            max_change=trace.max_change, target_accept=trace.target_accept,
+            gamma=trace.gamma, k=trace.k, t_0=trace.t_0,
+            adapt_step_size=trace.adapt_step_size,
+            update_window=trace.update_window, doubling=trace.doubling,
+            adapt_metric=trace.adapt_metric, logp_and_grad_base=base_lpg,
+            pooled_metric=getattr(trace, 'pooled_metric', False),
+            max_leapfrogs=getattr(trace, 'max_leapfrogs', 1024),
+            adapt_traj_len=getattr(trace, 'adapt_traj_len', True),
+            chees_lr=getattr(trace, 'chees_lr', 0.025))
+        trace._driver_cache = ((id(density), algo), driver)
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)

@@ -148,6 +148,12 @@ class SampleTrace:
     def add_warmup(self, n):
         self.n_warmup = self.n_warmup + n
 
+    def __getstate__(self):
+        # the compiled-driver cache is process-local (jitted executables)
+        d = dict(self.__dict__)
+        d.pop('_driver_cache', None)
+        return d
+
     def save(self, path):
         """Checkpoint this trace (config + samples + sampler carry)."""
         from ..utils.checkpoint import save as _save

@@ -64,6 +64,11 @@ def main():
     out['cases']['nuts_short_warmup'] = run('NUTS', 150, 500)
     out['cases']['pooled_short_warmup'] = run('NUTS', 150, 500,
                                               pooled_metric=True)
+    # ultra-short warmup: per-chain Welford cannot even fill its first
+    # adaptation window (60 iters), the pooled metric sees n_chain samples
+    # per iteration
+    out['cases']['nuts_w50'] = run('NUTS', 50, 500)
+    out['cases']['pooled_w50'] = run('NUTS', 50, 500, pooled_metric=True)
     print(json.dumps(out))
 
 
