@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ['kde_cdf_device']
+__all__ = ['kde_cdf_device', 'kde_cdf_batch']
 
 _BLOCK_X = 512
 _BLOCK_D = 1024
@@ -118,6 +118,45 @@ def _cdf_impl(x, data, w, h, use_pallas):
         out = jax.lax.fori_loop(0, dp.shape[0], body,
                                 jnp.zeros(xp.shape, dtype))
     return out.reshape(-1)[:n_x]
+
+
+_BLK_N = 1024
+
+
+@jax.jit
+def _cdf_batch_impl(x, data, w, h):
+    """Batched-over-columns weighted KDE cdf: ``x`` (D, M) queries,
+    ``data`` (D, N) per-column samples (N padded to a block multiple with
+    +1e30), ``w`` (N,) shared weights (0 on padding), ``h`` (D,)
+    bandwidths. Blocked over N so HBM holds O(D*M*BLK) intermediates."""
+    D, M = x.shape
+    n_blocks = data.shape[1] // _BLK_N
+
+    def body(j, acc):
+        d = jax.lax.dynamic_slice_in_dim(data, j * _BLK_N, _BLK_N, axis=1)
+        wj = jax.lax.dynamic_slice_in_dim(w, j * _BLK_N, _BLK_N, axis=0)
+        z = (x[:, :, None] - d[:, None, :]) / h[:, None, None]
+        return acc + jnp.einsum('dmn,n->dm', _phi(z), wj)
+
+    return jax.lax.fori_loop(0, n_blocks, body,
+                             jnp.zeros((D, M), x.dtype))
+
+
+def kde_cdf_batch(x, data, weights, h):
+    """Batched KDE cdf across columns; see ``_cdf_batch_impl``. The caller
+    pads queries (far positive -> cdf garbage rows it slices off); this
+    wrapper pads the data axis."""
+    x = jnp.asarray(x)
+    data = jnp.asarray(data, x.dtype)
+    weights = jnp.asarray(weights, x.dtype)
+    h = jnp.asarray(h, x.dtype)
+    pad = (-data.shape[1]) % _BLK_N
+    if pad:
+        data = jnp.concatenate(
+            [data, jnp.full((data.shape[0], pad), 1e30, data.dtype)], axis=1)
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((pad,), weights.dtype)])
+    return _cdf_batch_impl(x, data, weights, h)
 
 
 def kde_cdf_device(x, data, weights, h, use_pallas=False):

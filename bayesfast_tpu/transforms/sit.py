@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from scipy.special import ndtri
 
+from ..config import kde_on_device
 from ..utils.kde import kde
 from ..utils.cubic import cubic_spline, CubicSplineSet
 from ..utils.sobol import multivariate_normal
@@ -155,54 +156,123 @@ class SIT:
         return cubic_spline(x, lambda xx: ndtri(k.cdf(xx)),
                             **self.cubic_options)
 
-    def _gaussianize_nd(self, y):
-        # thread pool over dims: the per-dim fits spend their time in the
-        # native KDE-cdf kernel and numpy (both GIL-releasing), so threads
-        # scale with host cores — the TPU-host analog of the reference
-        # farming per-dim fits over a process pool (``sit.py:230``)
-        from concurrent.futures import ThreadPoolExecutor
-        import os as _os
-        from ..native import bindings as _native
-        n_workers = min(self.dim, _os.cpu_count() or 1)
-        if n_workers > 1:
-            _native.set_threads(1)  # one OMP lane per python thread
-            try:
-                with ThreadPoolExecutor(n_workers) as ex:
-                    splines = list(ex.map(
-                        lambda i: self._gaussianize_1d(np.asarray(y[:, i])),
-                        range(self.dim)))
-            finally:
-                _native.set_threads(0)
+    def _fit_splines_device(self, y, y_dev=None):
+        """All dims' spline fits with the KDE-cdf sums batched: ONE padded
+        device kernel per fit stage (see ``fit_spline_columns``), instead
+        of hundreds of per-dim evaluations. On remote-tunnel TPU hosts the
+        per-call latency of the per-dim path dominated the whole fit."""
+        from ..ops.kde_pallas import kde_cdf_batch
+
+        D = self.dim
+        cols = [np.ascontiguousarray(y[:, i], np.float64) for i in range(D)]
+        hs = np.empty(D)
+        for i in range(D):
+            k = kde(cols[i], bw_factor=self.bw_factor,
+                    weights=self._weights)
+            hs[i] = np.sqrt(k.covariance[0, 0])
+        data_dev = (y_dev.T.astype(jnp.float32) if y_dev is not None
+                    else jnp.asarray(np.asarray(y).T, jnp.float32))  # (D, N)
+        w_dev = jnp.asarray(self._weights, jnp.float32)
+        h_dev = jnp.asarray(hs, jnp.float32)
+
+        def fun_batch(queries):
+            m = max(q.size for q in queries)
+            if m == 0:
+                return [np.empty(0) for _ in queries]
+            m_pad = 128
+            while m_pad < m:
+                m_pad *= 2
+            X = np.full((D, m_pad), 1e30)
+            for d, q in enumerate(queries):
+                X[d, :q.size] = q
+            cdf = np.asarray(kde_cdf_batch(
+                jnp.asarray(X, jnp.float32), data_dev, w_dev, h_dev),
+                np.float64)
+            # guard the float32 tails so ndtri stays finite (the knots are
+            # inner percentiles, so this almost never binds)
+            cdf = np.clip(cdf, 1e-10, 1.0 - 1e-7)
+            return [ndtri(cdf[d, :q.size]) if q.size else np.empty(0)
+                    for d, q in enumerate(queries)]
+
+        from ..utils.cubic import fit_spline_columns
+        return fit_spline_columns(cols, fun_batch, **self.cubic_options)
+
+    def _gaussianize_nd(self, y, y_dev=None):
+        device_fit = (kde_on_device()
+                      and np.asarray(y).shape[0] * self.dim >= 100_000)
+        if device_fit:
+            splines = self._fit_splines_device(y, y_dev)
         else:
-            splines = [self._gaussianize_1d(np.asarray(y[:, i]))
-                       for i in range(self.dim)]
+            # thread pool over dims: the per-dim fits spend their time in
+            # the native KDE-cdf kernel and numpy (both GIL-releasing), so
+            # threads scale with host cores — the TPU-host analog of the
+            # reference farming per-dim fits over a process pool
+            # (``sit.py:230``)
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+            from ..native import bindings as _native
+            n_workers = min(self.dim, _os.cpu_count() or 1)
+            if n_workers > 1:
+                _native.set_threads(1)  # one OMP lane per python thread
+                try:
+                    with ThreadPoolExecutor(n_workers) as ex:
+                        splines = list(ex.map(
+                            lambda i: self._gaussianize_1d(
+                                np.asarray(y[:, i])),
+                            range(self.dim)))
+                finally:
+                    _native.set_threads(0)
+            else:
+                splines = [self._gaussianize_1d(np.asarray(y[:, i]))
+                           for i in range(self.dim)]
         sset = CubicSplineSet(splines)
         self._spline_sets.append(sset)
+        if device_fit:
+            out_dev = sset.evaluate(y_dev.T if y_dev is not None
+                                    else jnp.asarray(y).T).T
+            out = np.asarray(out_dev.astype(jnp.float32), np.float64)
+            return out, out_dev
         out = np.asarray(sset.evaluate(np.asarray(y).T)).T
-        return out
+        return out, None
 
-    def _ica(self, x):
+    def _ica(self, x, x_dev=None):
+        """FastICA rotation layer. ``x_dev`` (optional device mirror of
+        ``x``) keeps the whole rotate step on device — the host<->device
+        link of remote-TPU setups is slow enough that shipping the data
+        matrix per layer dominated the fit. Returns ``(y, y_dev, A, B, m)``
+        with ``y_dev`` None on the host path."""
         key = self._next_key()
         x = np.asarray(x)
+        if x_dev is None and kde_on_device():
+            x_dev = jnp.asarray(x)
         if self.m_ica is not None and x.shape[0] > self.m_ica:
             idx = np.asarray(jax.random.choice(
                 jax.random.fold_in(key, 1), x.shape[0], (self.m_ica,),
                 replace=False))
-            x_fit = x[idx]
+            x_fit = x_dev[jnp.asarray(idx)] if x_dev is not None else x[idx]
         else:
-            x_fit = x
+            x_fit = x_dev if x_dev is not None else x
         components, mean = fast_ica(
             x_fit, key, max_iter=self.ica_options.get('max_iter', 100),
             tol=self.ica_options.get('tol', 1e-4))
         components = np.asarray(components, np.float64)
         mean = np.asarray(mean, np.float64)
-        y = (x - mean) @ components.T
-        s = np.std(y, axis=0)
-        y = y / s
+        if x_dev is not None:
+            y_dev = (x_dev - mean) @ components.T
+            s = np.asarray(jnp.std(y_dev, axis=0), np.float64)
+            y_dev = y_dev / s
+            # host mirror rides the slow link in float32 (half the bytes);
+            # it only feeds percentile/bandwidth host logic
+            y = np.asarray(y_dev.astype(jnp.float32), np.float64)
+        else:
+            y_dev = None
+            y = (x - mean) @ components.T
+            s = np.std(y, axis=0)
+            y = y / s
         A = components / s[:, None]
         B = np.linalg.inv(A)
         m = np.mean(x, axis=0)
-        return y, A, B, m
+        return y, y_dev, A, B, m
 
     def _init_data(self, data, weights):
         if data is None:
@@ -248,16 +318,17 @@ class SIT:
                 self.n_iter = self.i_iter + n_run
 
         plot = int(plot)
+        data_dev = None
         for _ in range(n_run):
             try:
-                y, A, B, m = self._ica(self._data)
-                data_new = self._gaussianize_nd(y)
+                y, y_dev, A, B, m = self._ica(self._data, data_dev)
+                data_new, data_dev = self._gaussianize_nd(y, y_dev)
             except Exception:
                 warnings.warn(
                     'the ICA layer failed to converge; retrying once with a '
                     'fresh random seed.', RuntimeWarning)
-                y, A, B, m = self._ica(self._data)
-                data_new = self._gaussianize_nd(y)
+                y, y_dev, A, B, m = self._ica(self._data, data_dev)
+                data_new, data_dev = self._gaussianize_nd(y, y_dev)
             self._data = data_new
             self._A = np.concatenate((self._A, A[np.newaxis]), axis=0)
             self._B = np.concatenate((self._B, B[np.newaxis]), axis=0)
@@ -269,6 +340,7 @@ class SIT:
                 warnings.warn('inf encountered for some data points. We will '
                               'remove these inf points for now.',
                               RuntimeWarning)
+                data_dev = None  # mirror invalidated; re-upload next layer
             self._data = self._data[finite_index, :]
             self._weights = self._weights[finite_index]
             if plot > 0 and not (self.i_iter % plot):

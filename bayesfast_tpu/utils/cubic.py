@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from scipy.linalg import solve_banded
 
-__all__ = ['cubic_spline', 'CubicSplineSet']
+__all__ = ['cubic_spline', 'CubicSplineSet', 'fit_spline_columns']
 
 
 def _is_monotone_interval(c, dx):
@@ -47,105 +47,46 @@ class cubic_spline:
 
     Parameters mirror the reference (``cubic.py:61``): ``x_all`` are data
     samples, ``fun`` the function to interpolate (the KDE-cdf Gaussian map).
+    The fitting logic lives in ``fit_spline_columns`` (which batches the
+    expensive ``fun`` evaluations across many columns per stage); this
+    constructor is the single-column convenience form.
     """
 
     __slots__ = ('_x', '_n', '_c', '_y')
 
     def __init__(self, x_all, fun, bins=100, edge_bins=1, edge_points=10,
                  max_width=5, split=4, max_add=5, save_fun=False):
-        x_all = np.ascontiguousarray(x_all, np.float64)
-        edge_bins = min(edge_bins, bins // 4)
-        self._x = np.unique(np.percentile(
-            x_all, np.linspace(0, 100, bins + 1)[edge_bins:-edge_bins]))
-        if self._x.shape[0] < max(4, edge_bins + 2):
-            # (near-)degenerate data: all percentile knots collapse. The
-            # reference crashes here; fall back to the affine map
-            # y = (x - m) / s so the transform stays well-defined.
-            m = float(np.mean(x_all))
-            s = float(np.std(x_all))
-            s = max(s, 1e-6 * max(abs(m), 1.0))
-            warnings.warn('cubic_spline: degenerate data, falling back to '
-                          'an affine map.', RuntimeWarning)
-            self._x = np.array([m - 3 * s, m + 3 * s])
-            self._y = np.array([-3.0, 3.0])
-            self._n = 2
-            k = 1.0 / s
-            self._c = np.zeros((3, 4))
-            self._c[:, 2] = k
-            self._c[0, 3] = self._y[0]
-            self._c[1, 3] = self._y[0]
-            self._c[2, 3] = self._y[1]
-            return
-        self._y = np.asarray(fun(self._x), np.float64)
-        self._n = self._x.shape[0]
+        fitted = fit_spline_columns(
+            [x_all], lambda qs: [np.asarray(fun(q), np.float64)
+                                 if q.size else np.empty(0) for q in qs],
+            bins=bins, edge_bins=edge_bins, edge_points=edge_points,
+            max_width=max_width, split=split, max_add=max_add)[0]
+        self._x = fitted._x
+        self._y = fitted._y
+        self._n = fitted._n
+        self._c = fitted._c
 
-        # edge slopes from regression through nearby data percentiles
-        x_edge_1 = np.percentile(
-            x_all[x_all < self._x[edge_bins]] - self._x[0],
-            np.linspace(0, 100, edge_points + 2)[1:-1])
-        y_edge_1 = np.asarray(fun(x_edge_1 + self._x[0])) - self._y[0]
-        k_edge_1 = np.sum(x_edge_1 * y_edge_1) / np.sum(x_edge_1 * x_edge_1)
-        x_edge_2 = np.percentile(
-            x_all[x_all > self._x[-edge_bins - 1]] - self._x[-1],
-            np.linspace(0, 100, edge_points + 2)[1:-1])
-        y_edge_2 = np.asarray(fun(x_edge_2 + self._x[-1])) - self._y[-1]
-        k_edge_2 = np.sum(x_edge_2 * y_edge_2) / np.sum(x_edge_2 * x_edge_2)
-
-        # split overly wide intervals before the first fit
-        diff = np.diff(self._x)
-        diff_r = diff / np.mean(diff)
-        i_1 = 0
-        while i_1 < self._n - 2 and diff_r[i_1] > max_width:
-            i_1 += 1
-        i_2 = self._n - 2
-        while i_2 > 0 and diff_r[i_2] > max_width:
-            i_2 -= 1
-        if i_1 <= i_2:
-            sparse_index = np.where(diff_r[i_1:(i_2 + 1)] > max_width)[0] + i_1
-            if sparse_index.size:
-                x_aug = np.empty(0)
-                for j in sparse_index:
-                    n_j = int(np.ceil(diff_r[j] / split))
-                    x_aug_j = np.linspace(self._x[j], self._x[j + 1],
-                                          n_j + 1)[1:-1]
-                    x_aug = np.concatenate((x_aug, x_aug_j))
-                insert_index = np.searchsorted(self._x, x_aug)
-                self._x = np.insert(self._x, insert_index, x_aug)
-                self._y = np.insert(self._y, insert_index, fun(x_aug))
-                self._n = self._x.shape[0]
-
-        self._fit(k_edge_1, k_edge_2)
-        check = self._check()
-
-        add_points = 0
-        while not np.all(check) and add_points < max_add:
-            x_aug = np.empty(0)
-            for j in np.where(~check)[0]:
-                x_aug_j = np.linspace(self._x[j], self._x[j + 1],
-                                      split + 1)[1:-1]
-                x_aug = np.concatenate((x_aug, x_aug_j))
-            insert_index = np.searchsorted(self._x, x_aug)
-            self._x = np.insert(self._x, insert_index, x_aug)
-            self._y = np.insert(self._y, insert_index, fun(x_aug))
-            if add_points == max_add - 1:
-                self._regularize_y()
-            self._n = self._x.shape[0]
-            self._fit(k_edge_1, k_edge_2)
-            check = self._check()
-            add_points += 1
-
-        if not np.all(check):
-            # linear fallback on still-non-monotone intervals
-            for i_b in np.where(~check)[0] + 1:
-                self._c[i_b, 0] = 0
-                self._c[i_b, 1] = 0
-                self._c[i_b, 2] = (self._y[i_b] - self._y[i_b - 1]) / (
-                    self._x[i_b] - self._x[i_b - 1])
-                self._c[i_b, 3] = self._y[i_b - 1]
-            check = self._check()
-        if not np.all(check):
-            warnings.warn('Not all the intervals are monotone.',
-                          RuntimeWarning)
+    @classmethod
+    def _degenerate(cls, x_all):
+        """(Near-)degenerate data: all percentile knots collapse. The
+        reference crashes here; fall back to the affine map y = (x - m) / s
+        so the transform stays well-defined."""
+        m = float(np.mean(x_all))
+        s = float(np.std(x_all))
+        s = max(s, 1e-6 * max(abs(m), 1.0))
+        warnings.warn('cubic_spline: degenerate data, falling back to '
+                      'an affine map.', RuntimeWarning)
+        self = cls.__new__(cls)
+        self._x = np.array([m - 3 * s, m + 3 * s])
+        self._y = np.array([-3.0, 3.0])
+        self._n = 2
+        k = 1.0 / s
+        self._c = np.zeros((3, 4))
+        self._c[:, 2] = k
+        self._c[0, 3] = self._y[0]
+        self._c[1, 3] = self._y[0]
+        self._c[2, 3] = self._y[1]
+        return self
 
     def _fit(self, k_edge_1, k_edge_2):
         """C2 cubic fit with clamped edge slopes (``cubic.py:153-194``)."""
@@ -228,6 +169,141 @@ class cubic_spline:
     def solve(self, y):
         y = np.atleast_1d(np.asarray(y, np.float64))
         return np.asarray(self._as_set().solve(y[None, :])[0])
+
+
+def fit_spline_columns(cols, fun_batch, bins=100, edge_bins=1,
+                       edge_points=10, max_width=5, split=4, max_add=5):
+    """Fit one monotone percentile-knot spline per data column, with the
+    expensive target-function evaluations batched across columns.
+
+    ``fun_batch(queries)`` takes a list with one 1-d query array per column
+    (possibly empty) and returns the function values in the same layout —
+    the SIT fit implements it as ONE padded device kernel per stage, which
+    is what makes this fast on few-core accelerator hosts where per-column
+    evaluation (the reference's pool-map, ``sit.py:230``) is latency-bound.
+
+    Stage structure (identical arithmetic to the reference's sequential
+    constructor, ``cubic.py:61-151``): percentile knots + edge-regression
+    points + wide-interval splits need no function values, so they form one
+    batched evaluation; each monotonicity-refinement round across all
+    columns forms another.
+    """
+    n_col = len(cols)
+    cols = [np.ascontiguousarray(c, np.float64) for c in cols]
+    eb = min(edge_bins, bins // 4)
+    splines = [None] * n_col
+    st = [None] * n_col
+
+    # ---- stage A (no function values): knots, edge offsets, width splits
+    queries = []
+    for d, x_all in enumerate(cols):
+        x0 = np.unique(np.percentile(
+            x_all, np.linspace(0, 100, bins + 1)[eb:-eb]))
+        if x0.shape[0] < max(4, eb + 2):
+            splines[d] = cubic_spline._degenerate(x_all)
+            queries.append(np.empty(0))
+            continue
+        xe1 = np.percentile(x_all[x_all < x0[eb]] - x0[0],
+                            np.linspace(0, 100, edge_points + 2)[1:-1])
+        xe2 = np.percentile(x_all[x_all > x0[-eb - 1]] - x0[-1],
+                            np.linspace(0, 100, edge_points + 2)[1:-1])
+
+        # split overly wide intervals (x-spacing only; ``cubic.py:96-115``)
+        x = x0
+        n = x.shape[0]
+        diff = np.diff(x)
+        diff_r = diff / np.mean(diff)
+        i_1 = 0
+        while i_1 < n - 2 and diff_r[i_1] > max_width:
+            i_1 += 1
+        i_2 = n - 2
+        while i_2 > 0 and diff_r[i_2] > max_width:
+            i_2 -= 1
+        if i_1 <= i_2:
+            sparse_index = np.where(
+                diff_r[i_1:(i_2 + 1)] > max_width)[0] + i_1
+            if sparse_index.size:
+                x_aug = np.empty(0)
+                for j in sparse_index:
+                    n_j = int(np.ceil(diff_r[j] / split))
+                    x_aug = np.concatenate(
+                        (x_aug, np.linspace(x[j], x[j + 1], n_j + 1)[1:-1]))
+                x = np.insert(x, np.searchsorted(x, x_aug), x_aug)
+
+        st[d] = {'x': x, 'xe1': xe1, 'xe2': xe2}
+        queries.append(np.concatenate([x, xe1 + x0[0], xe2 + x0[-1]]))
+
+    ys = fun_batch(queries)
+
+    # ---- first fit per column
+    for d in range(n_col):
+        if splines[d] is not None:
+            continue
+        x = st[d]['x']
+        n_x = x.shape[0]
+        ep = st[d]['xe1'].shape[0]
+        y = np.asarray(ys[d][:n_x], np.float64)
+        y_e1 = np.asarray(ys[d][n_x:n_x + ep]) - y[0]
+        y_e2 = np.asarray(ys[d][n_x + ep:]) - y[-1]
+        xe1, xe2 = st[d]['xe1'], st[d]['xe2']
+        k1 = np.sum(xe1 * y_e1) / np.sum(xe1 * xe1)
+        k2 = np.sum(xe2 * y_e2) / np.sum(xe2 * xe2)
+        s = cubic_spline.__new__(cubic_spline)
+        s._x, s._y, s._n = x, y, n_x
+        s._fit(k1, k2)
+        st[d].update(k1=k1, k2=k2, check=s._check())
+        splines[d] = s
+
+    # ---- monotonicity-refinement rounds, batched across columns
+    add_points = 0
+    while add_points < max_add:
+        queries = []
+        live = []
+        for d in range(n_col):
+            if st[d] is None or np.all(st[d]['check']):
+                queries.append(np.empty(0))
+                continue
+            s = splines[d]
+            x_aug = np.empty(0)
+            for j in np.where(~st[d]['check'])[0]:
+                x_aug = np.concatenate(
+                    (x_aug, np.linspace(s._x[j], s._x[j + 1],
+                                        split + 1)[1:-1]))
+            queries.append(x_aug)
+            live.append(d)
+        if not live:
+            break
+        ys = fun_batch(queries)
+        for d in live:
+            s = splines[d]
+            x_aug = queries[d]
+            idx = np.searchsorted(s._x, x_aug)
+            s._x = np.insert(s._x, idx, x_aug)
+            s._y = np.insert(s._y, idx, np.asarray(ys[d], np.float64))
+            if add_points == max_add - 1:
+                s._regularize_y()
+            s._n = s._x.shape[0]
+            s._fit(st[d]['k1'], st[d]['k2'])
+            st[d]['check'] = s._check()
+        add_points += 1
+
+    # ---- linear fallback on still-non-monotone intervals
+    for d in range(n_col):
+        if st[d] is None:
+            continue
+        check = st[d]['check']
+        if not np.all(check):
+            s = splines[d]
+            for i_b in np.where(~check)[0] + 1:
+                s._c[i_b, 0] = 0
+                s._c[i_b, 1] = 0
+                s._c[i_b, 2] = (s._y[i_b] - s._y[i_b - 1]) / (
+                    s._x[i_b] - s._x[i_b - 1])
+                s._c[i_b, 3] = s._y[i_b - 1]
+            if not np.all(s._check()):
+                warnings.warn('Not all the intervals are monotone.',
+                              RuntimeWarning)
+    return splines
 
 
 # ------------------- batched device kernels -------------------

@@ -210,6 +210,24 @@ def render():
                           '(27 params, 457 outputs):', '']
             for item in r['results']:
                 lines.append(f"- `{json.dumps(item)}`")
+    for r in rows:
+        if r['config'] == 'extensions':
+            lines += [
+                '', '## Extensions vs default NUTS '
+                '(64-d Gaussian, condition 1e4, 1024 chains, float32)', '',
+                '| case | ESS/s/chip | density calls |', '|---|---|---|']
+            for k, v in r['cases'].items():
+                lines.append(f"| {k} | {v['ess_per_sec']} | "
+                             f"{v['n_call']} |")
+            lines += [
+                '',
+                'Honest read: on this target neither extension beats the '
+                'batched-NUTS default in wall-clock ESS/s (the '
+                'scalar-schedule tree kernel already amortizes its '
+                'bookkeeping); ChEES needs ~14% and the pooled metric ~8% '
+                'fewer density evaluations per run, which matters when the '
+                'density itself dominates. Both are therefore documented '
+                'as situational, not defaults.']
     with open(os.path.join(os.path.dirname(RESULTS_PATH), '..',
                            'RESULTS.md'), 'w') as f:
         f.write('\n'.join(lines) + '\n')

@@ -174,7 +174,7 @@ def test_device_kde_fit_matches_host():
     from bayesfast_tpu.transforms import SIT
 
     rng = np.random.default_rng(0)
-    n = 20000
+    n = 40000  # above the batched-device-fit threshold (n * dim >= 1e5)
     data = np.stack([rng.normal(size=n) ** 3, rng.gamma(2, size=n),
                      rng.standard_t(3, size=n)], axis=1)
     outs = {}
