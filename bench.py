@@ -31,8 +31,8 @@ def main():
     from bayesfast_tpu.utils.acor import effective_sample_size
 
     n_chain = int(os.environ.get('BENCH_N_CHAIN', 1024))
-    n_warmup = int(os.environ.get('BENCH_N_WARMUP', 500))
-    n_post = int(os.environ.get('BENCH_N_POST', 500))
+    n_warmup = int(os.environ.get('BENCH_N_WARMUP', 400))
+    n_post = int(os.environ.get('BENCH_N_POST', 300))
 
     D, Q = 32, 0.01
     lower = np.full(D, -15.)
