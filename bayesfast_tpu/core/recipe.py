@@ -375,15 +375,24 @@ class RecipeTrace:
     @property
     def n_call(self):
         """Cumulative true-model evaluations (reference
-        ``recipe.py:665-682``). Exact only when every step used surrogates
-        (otherwise the true-model calls inside MCMC are not tallied)."""
+        ``recipe.py:665-682``). For surrogate steps this is the number of
+        fit points; for surrogate-free steps the true model is called inside
+        the MCMC itself, so the exact per-iteration tally kept by the trace
+        (tree sizes / leapfrog counts, see ``samplers/sample_trace.py``) is
+        used — the reference raises NotImplementedError there because its
+        traces lack the accounting."""
         if self._r_post is not None:
             return self._r_post.n_call
         total = 0
         for res in (*self._r_optimize, *self._r_sample):
-            if len(res.surrogate_list) == 0 or res.var_dicts is None:
-                raise NotImplementedError
-            total += len(res.var_dicts)
+            if len(res.surrogate_list) > 0 and res.var_dicts is not None:
+                total += len(res.var_dicts)
+            elif res.sample_trace is not None:
+                total += int(res.sample_trace.n_call)
+            else:
+                raise NotImplementedError(
+                    'step has neither surrogate fit points nor a sample '
+                    'trace to account calls from.')
         return total
 
 

@@ -128,6 +128,34 @@ class kde:
         sdata, sw, prefix = self._cdf_cache
         return _native.kde_cdf_sorted(sdata, sw, prefix, h, x)
 
+    def resample(self, size=None, random_generator=None):
+        """Draw samples from the estimated density (reference
+        ``kde.py:356-381``): pick a data point by weight, add kernel noise.
+
+        Parameters
+        ----------
+        size : int, optional
+            Number of draws; defaults to the effective sample size.
+        random_generator : np.random.Generator, optional
+            Defaults to the framework's global generator registry.
+
+        Returns
+        -------
+        (size, d) ndarray of draws.
+        """
+        if size is None:
+            size = int(self.neff)
+        if random_generator is None:
+            # derive a host generator from the framework's global jax key
+            from .random import next_key
+            import jax
+            seed = int(jax.random.randint(next_key(), (), 0, 2 ** 31 - 1))
+            random_generator = np.random.default_rng(seed)
+        indices = random_generator.choice(self.n, size=size, p=self._weights)
+        noise = random_generator.multivariate_normal(
+            np.zeros(self.d), self.covariance, size=size)
+        return self.dataset[indices] + noise
+
     # bucket query counts so the jitted device kernel compiles O(1) times
     _CDF_BUCKET = 128
 

@@ -79,3 +79,25 @@ def test_recipe_optimize_only_densitylite():
     # Laplace samples match the unit covariance at beta=100 tempering
     lap = opt.laplace_result
     assert np.allclose(lap.cov, np.eye(3), atol=1e-4)
+
+
+def test_recipe_n_call_surrogate_free():
+    """A SampleStep with no surrogates calls the true model inside the MCMC;
+    RecipeTrace.n_call must tally those calls exactly from the trace
+    (the reference raises NotImplementedError here, ``recipe.py:665-682``)."""
+    bf.utils.set_generator(7)
+
+    def logp(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    den = bf.DensityLite(logp=logp, input_size=2)
+    rec = bf.Recipe(
+        density=den,
+        sample={'sample_trace': {'n_chain': 4, 'n_iter': 60,
+                                 'n_warmup': 30}},
+    )
+    rec._sam_step()
+    rt = rec.recipe_trace
+    tt = rt.results.sample[-1].sample_trace
+    assert rt.n_call == int(tt.n_call)
+    assert rt.n_call > 4 * 60  # at least one call per chain-iteration

@@ -2,6 +2,7 @@
 resampling, make_positive, autocorrelation time / ESS, collections."""
 
 import numpy as np
+import bayesfast_tpu as bf
 import warnings
 import pytest
 
@@ -150,3 +151,22 @@ def test_rhat():
     assert np.all(rhat(bad) > 1.5)
     # 2-d input gives a scalar
     assert np.isscalar(rhat(good[:, :, 0]))
+
+
+def test_kde_resample():
+    """kde.resample draws from the estimated density (reference
+    ``kde.py:356-381``): mean/cov of draws match data mean and
+    cov + kernel covariance."""
+    from bayesfast_tpu.utils.kde import kde
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(4000, 2)) @ np.array([[1.0, 0.4], [0.0, 0.7]])
+    k = kde(data)
+    bf.utils.set_generator(123)
+    draws = k.resample(20000)
+    assert draws.shape == (20000, 2)
+    target_cov = np.cov(data.T) + k.covariance
+    assert np.allclose(np.mean(draws, axis=0), np.mean(data, axis=0),
+                       atol=0.05)
+    assert np.allclose(np.cov(draws.T), target_cov, atol=0.08)
+    # default size = effective sample size
+    assert k.resample().shape == (int(k.neff), 2)
