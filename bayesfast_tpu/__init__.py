@@ -10,6 +10,7 @@ batched device kernels; mutable traces become functional scan carries.
 
 __version__ = '0.1.0'
 
+from . import config  # configures matmul precision — keep first
 from . import utils
 from . import ops
 from . import core

@@ -55,3 +55,49 @@ def asarray(x):
 
 def default_int():
     return jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# Matmul precision.
+#
+# XLA:TPU lowers float32 matmuls to bfloat16 MXU passes by default (fast, but
+# only ~8 mantissa bits). For generic NN workloads that is the right trade;
+# for Hamiltonian Monte Carlo it is catastrophic whenever the target density
+# contains a matmul (a rotation, a covariance solve, a linear model): the
+# gradient noise breaks symplectic energy conservation and the sampler
+# silently compensates with a ~3x smaller step size. Measured on the
+# banana-32 anchor (D=32 rotation, float32, equal step size): leaf acceptance
+# 0.60 under default precision vs 0.986 under float32-accurate matmuls vs
+# 0.986 in float64 — i.e. the *entire* float32 acceptance penalty documented
+# in round 2 was bf16 matmul rounding, not float32 state.
+#
+# We therefore default every density/kernel evaluation to
+# ``jax_default_matmul_precision='highest'`` at import. The densities this
+# framework targets have tiny matmuls (D ~ 10-100), so the extra MXU passes
+# are invisible next to HBM traffic; users running huge traceable models can
+# opt back out with ``set_matmul_precision(None)``.
+# ---------------------------------------------------------------------------
+
+_prior_matmul_precision = None
+
+
+def set_matmul_precision(mode='highest'):
+    """Set jax's global default matmul precision ('highest' | 'float32' |
+    'bfloat16' | ...). ``None`` restores whatever was active before this
+    package configured it."""
+    global _prior_matmul_precision
+    if mode is None:
+        jax.config.update('jax_default_matmul_precision',
+                          _prior_matmul_precision)
+    else:
+        jax.config.update('jax_default_matmul_precision', str(mode))
+
+
+def _configure_matmul_precision():
+    global _prior_matmul_precision
+    _prior_matmul_precision = jax.config.jax_default_matmul_precision
+    if _prior_matmul_precision is None:
+        jax.config.update('jax_default_matmul_precision', 'highest')
+
+
+_configure_matmul_precision()

@@ -26,9 +26,12 @@ measured on TPU v5 at 2048 chains, D=32; profiles in the repo history):
     ``dynamic_update_slice`` (O(width x chains) per iteration) instead of a
     one-hot select over every level (O(levels x width x chains) — the two
     one-hot passes were 68% of the round-1 kernel);
-  * merge-only iterations (leaves with >= 2 trailing 1-bits; ~1/3 of all
-    iterations) skip the leapfrog entirely via ``lax.cond`` on the scalar
-    phase flag, where the masked formulation re-integrated and discarded;
+  * every iteration integrates one leaf AND performs all of that leaf's
+    binary-counter merges: the first merge is fused against the live leaf
+    state (no frame materialized, static stack level 0, 2 U-turn dots
+    instead of 6), deeper merges run in a rarely-entered inner loop — so a
+    depth-d subtree takes exactly 2^d iterations (round 2 took 1.5 * 2^d
+    with merge-only passes paying full per-iteration overhead);
   * the stack stores only momenta — endpoint *velocities* are recomputed
     from ``M^{-1} p`` at merge time, cutting the stored frame from 5 to 3
     vectors (HBM traffic scales with frame width).
@@ -97,11 +100,18 @@ class TIntegratorState(NamedTuple):
 
     ``cq``/``cp`` are Kahan compensation residuals for the position and
     momentum accumulators: a float32 trajectory of ~1000 leapfrog steps
-    loses ~1e-7 of |q| at every ``q += eps * v``, which measured as an
-    O(0.3-0.4) acceptance drop vs float64 at equal step size on the
-    banana-32 density. Compensated accumulation recovers float64-grade
-    trajectories while every expensive op (the user logp/grad) stays in the
-    chip-native dtype.
+    loses ~1e-7 of |q| at every ``q += eps * v``; compensated accumulation
+    keeps the integrator's own rounding at float64 grade while every
+    expensive op (the user logp/grad) stays in the chip-native dtype.
+
+    Note the dominant float32 error source turned out to live *outside* the
+    integrator: XLA:TPU lowers f32 matmuls to bfloat16 MXU passes by
+    default, and any matmul inside the target density then injects ~2^-9
+    relative gradient noise that destroys energy conservation (measured on
+    banana-32: leaf acceptance 0.60 vs 0.986 at equal step size). The
+    package therefore forces ``jax_default_matmul_precision='highest'`` at
+    import — see ``config.set_matmul_precision``. With that in place, f32
+    acceptance matches f64 to ~1e-4 on the banana anchor.
     """
     q: jnp.ndarray
     p: jnp.ndarray
@@ -261,6 +271,32 @@ def _merge_b(u, L, vel_fn, t1, t2, merged_depth):
     return merged, turning
 
 
+def _merge_leaf(u, L, vel_fn, t1, state, d_energy, prop_of):
+    """Join the depth-1 subtree t1 (a single older leaf, stack level 0)
+    with the just-integrated leaf ``state`` — the specialized first
+    binary-counter merge, fused into the leaf iteration.
+
+    At merged depth 1 the extra inner-subtree U-turn checks of
+    ``nuts.py:148-161`` do not apply, so only the two outer dot products
+    run; the new leaf's endpoint momenta/p_sum are all ``state.p`` and its
+    velocity is already in ``state.v``, so no frame is materialized and
+    only t1's left endpoint velocity is recomputed.
+    """
+    ps1 = t1[L.sl_p_sum]
+    p_sum = ps1 + state.p
+    v1l = vel_fn(t1[L.sl_left_p])
+    turning = ((jnp.sum(p_sum * v1l, axis=0) <= 0) |
+               (jnp.sum(p_sum * state.v, axis=0) <= 0))
+    ls1 = t1[L.i_log_size]
+    ls2 = -d_energy
+    log_size = jnp.logaddexp(ls1, ls2)
+    take2 = jnp.log(u) < ls2 - log_size
+    tail = jnp.where(take2, L.flat_prop(prop_of(state)), t1[L.sl_prop])
+    merged = jnp.concatenate([
+        t1[L.sl_left_p], state.p, p_sum, log_size[None], tail], axis=0)
+    return merged, turning
+
+
 def _trailing_ones(k):
     """Number of trailing 1-bits of k = number of binary-counter merges
     after integrating leaf ``k``."""
@@ -281,11 +317,20 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
     batched results (proposal pytree, depth, tree size, acceptance
     statistics, divergence flag, loop_iters).
 
-    The loop counters (``k``, ``m``, ``pending``, ``need_leaf``,
-    ``depth_s``) are scalars: every lane still in flight shares the same
-    schedule, because the only ways to deviate from it (divergence, U-turn,
-    max depth) all finish the lane. Finished lanes keep integrating as
-    masked passengers; their stack frames may go stale but are never read.
+    The loop counters (``k``, ``depth_s``) are scalars: every lane still in
+    flight shares the same schedule, because the only ways to deviate from
+    it (divergence, U-turn, max depth) all finish the lane. Finished lanes
+    keep integrating as masked passengers; their stack frames may go stale
+    but are never read.
+
+    Every iteration integrates exactly one leaf and performs ALL of that
+    leaf's binary-counter merges in the same pass: the first merge is fused
+    against the just-integrated state (``_merge_leaf`` — static stack level
+    0, no frame materialized, two U-turn dots), and the rare deeper merges
+    (leaves with >= 2 trailing 1-bits, 1/4 of leaves) run in an inner
+    ``while_loop`` entered through a scalar ``cond``. A depth-d subtree
+    thus takes exactly 2^d iterations (the round-2 kernel took 1.5 * 2^d,
+    paying full per-iteration overhead on merge-only passes).
     """
     D, C = start.q.shape
     dtype = start.q.dtype
@@ -307,13 +352,9 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
         p_sum=start.p,
         log_size=jnp.zeros((C,), dtype),
         stack=jnp.zeros((n_lvl + 1, L.total, C), dtype),
-        inc=jnp.zeros((L.total, C), dtype),
         # scalar schedule
         k=jnp.zeros((), jnp.int32),
         depth_s=jnp.zeros((), jnp.int32),
-        m=jnp.zeros((), jnp.int32),
-        pending=jnp.zeros((), jnp.int32),
-        need_leaf=jnp.ones((), bool),
         # per-lane state
         depth=jnp.zeros((C,), jnp.int32),
         go_right=go_right0,
@@ -334,64 +375,73 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
         u = jax.random.uniform(sub, (3, C))
         active = ~c['done']
 
-        # ---- leaf phase: one leapfrog, skipped entirely on merge-only
-        # iterations (the scalar flag makes this a real branch, not a mask)
-        def leaf_phase(cur, inc, accept_sum, n_prop, max_de):
-            new_state = step_fn(c['eps'], cur)
-            d_energy = new_state.energy - start_energy
-            d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
-            div = active & ~(jnp.abs(d_energy) < max_change)
-            leaf_vec = L.leaf(new_state, d_energy, prop_of)
-            upd = active & (jnp.abs(d_energy) > jnp.abs(max_de))
-            max_de = jnp.where(upd, d_energy, max_de)
-            accept = jnp.minimum(1.0, jnp.exp(-d_energy))
-            accept_sum = accept_sum + jnp.where(active & ~div, accept, 0.)
-            n_prop = n_prop + active.astype(jnp.int32)
-            cur = _bwhere(active & ~div, new_state, cur)
-            return cur, leaf_vec, accept_sum, n_prop, max_de, div
+        # ---- leaf: one leapfrog, every iteration ----
+        new_state = step_fn(c['eps'], c['cur'])
+        d_energy = new_state.energy - start_energy
+        d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
+        div = active & ~(jnp.abs(d_energy) < max_change)
+        upd = active & (jnp.abs(d_energy) > jnp.abs(c['max_de']))
+        max_de = jnp.where(upd, d_energy, c['max_de'])
+        accept = jnp.minimum(1.0, jnp.exp(-d_energy))
+        accept_sum = c['accept_sum'] + jnp.where(active & ~div, accept, 0.)
+        n_prop = c['n_prop'] + active.astype(jnp.int32)
+        cur = _bwhere(active & ~div, new_state, c['cur'])
+        diverging = c['diverging'] | div
 
-        def no_leaf(cur, inc, accept_sum, n_prop, max_de):
-            return (cur, inc, accept_sum, n_prop, max_de,
+        pending = _trailing_ones(c['k'])
+
+        # ---- first binary-counter merge, fused against the leaf state;
+        # lanes that diverged or are finished keep a stale frame (their
+        # lane ends this iteration, the frame is never read)
+        def first_merge(stack):
+            t1 = stack[0]
+            merged, mturn = _merge_leaf(u[0], L, vel_fn, t1, new_state,
+                                        d_energy, prop_of)
+            ok = active & ~div
+            return jnp.where(ok, merged, t1), ok & mturn
+
+        def plain_leaf(stack):
+            return (L.leaf(new_state, d_energy, prop_of),
                     jnp.zeros((C,), bool))
 
-        cur, inc, accept_sum, n_prop, max_de, div = jax.lax.cond(
-            c['need_leaf'], leaf_phase, no_leaf,
-            c['cur'], c['inc'], c['accept_sum'], c['n_prop'], c['max_de'])
-        diverging = c['diverging'] | div
-        m = jnp.where(c['need_leaf'], 0, c['m'])
-        pending = jnp.where(c['need_leaf'], _trailing_ones(c['k']),
-                            c['pending'])
+        inc, turned = jax.lax.cond(pending > 0, first_merge, plain_leaf,
+                                   c['stack'])
 
-        # ---- one binary-counter merge, fused into the same iteration
-        # (leaves with >= 2 trailing 1-bits take extra merge-only passes);
-        # the stack frame is read by scalar level index — one slice, not a
-        # select over every level
-        def merge_phase(stack, inc):
-            t1 = jax.lax.dynamic_index_in_dim(stack, m, axis=0,
-                                              keepdims=False)
-            merged, mturn = _merge_b(u[0], L, vel_fn, t1, inc, m + 1)
-            keep = active & ~div
-            return jnp.where(keep, merged, inc), keep & mturn
+        # ---- deeper merges (trailing 1-bits >= 2): inner loop over the
+        # remaining levels, entered only when needed so the common path
+        # pays nothing
+        def extra_merges(args):
+            key, inc, turned = args
 
-        inc, turning_sub = jax.lax.cond(
-            pending > 0, merge_phase,
-            lambda stack, inc: (inc, jnp.zeros((C,), bool)),
-            c['stack'], inc)
-        did_merge = pending > 0
-        m = jnp.where(did_merge, m + 1, m)
-        pending = jnp.where(did_merge, pending - 1, pending)
+            def e_cond(s):
+                return s[2] < pending
+
+            def e_body(s):
+                key, inc, m, turned = s
+                key, s2 = jax.random.split(key)
+                um = jax.random.uniform(s2, (C,))
+                t1 = jax.lax.dynamic_index_in_dim(c['stack'], m, axis=0,
+                                                  keepdims=False)
+                merged, mturn = _merge_b(um, L, vel_fn, t1, inc, m + 1)
+                ok = active & ~div & ~turned
+                inc = jnp.where(ok, merged, inc)
+                return key, inc, m + 1, turned | (ok & mturn)
+
+            key, inc, _, turned = jax.lax.while_loop(
+                e_cond, e_body, (key, inc, jnp.int32(1), turned))
+            return key, inc, turned
+
+        key, inc, turning_sub = jax.lax.cond(
+            pending >= 2, extra_merges, lambda a: a, (key, inc, turned))
 
         abort = div | turning_sub
-        # every iteration performs a leaf or a merge, so the (sub-)subtree
-        # at the current level is complete exactly when no merges remain
-        fin = pending == 0
-        k = jnp.where(fin, c['k'] + 1, c['k'])
+        k = c['k'] + 1
         n_leaf = jnp.left_shift(jnp.int32(1), c['depth_s'])
-        sub_done = fin & (k == n_leaf)
-        # push the completed frame at its level; iterations with nothing to
-        # push (or whose final merge feeds the main tree directly) land on
-        # the sink level so the write stays one in-place dynamic-update
-        w_idx = jnp.where(fin & ~sub_done, m, n_lvl)
+        sub_done = k == n_leaf
+        # push the completed frame at its level (= merges performed);
+        # the subtree's final frame feeds the main tree directly and lands
+        # on the sink level so the write stays one in-place dynamic-update
+        w_idx = jnp.where(sub_done, n_lvl, pending)
         stack = jax.lax.dynamic_update_index_in_dim(c['stack'], inc, w_idx,
                                                     axis=0)
 
@@ -476,8 +526,8 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
 
         return dict(
             key=key, cur=cur, left=left, right=right, prop=prop,
-            p_sum=p_sum, log_size=log_size, stack=stack, inc=inc,
-            k=k, depth_s=depth_s, m=m, pending=pending, need_leaf=fin,
+            p_sum=p_sum, log_size=log_size, stack=stack,
+            k=k, depth_s=depth_s,
             depth=depth, go_right=go_right, eps=eps,
             accept_sum=accept_sum, n_prop=n_prop, max_de=max_de,
             diverging=diverging, done=done,

@@ -23,6 +23,7 @@ from ..utils.cubic import cubic_spline, CubicSplineSet
 from ..utils.sobol import multivariate_normal
 from ..utils.random import get_generator, next_key
 from ..ops.ica import fast_ica
+from ..parallel.mesh import shard_batch
 
 __all__ = ['SIT']
 
@@ -405,7 +406,7 @@ class SIT:
                     np.zeros(original_shape[:-1]))
         stk = self._stacked()
         yd, lj = _flow_forward(stk['xs'], stk['cs'], stk['m'], stk['A'],
-                               stk['mu'], jnp.asarray(y))
+                               stk['mu'], shard_batch(jnp.asarray(y)))
         y = np.asarray(yd)
         log_j = np.asarray(lj) + np.sum(self._logdetA)
         y = y.reshape(original_shape)
@@ -433,7 +434,7 @@ class SIT:
                     np.zeros(original_shape[:-1]))
         stk = self._stacked()
         xd, lj = _flow_backward(stk['xs'], stk['ys'], stk['cs'], stk['m'],
-                                stk['B'], stk['mu'], jnp.asarray(x))
+                                stk['B'], stk['mu'], shard_batch(jnp.asarray(x)))
         x = np.asarray(xd)
         log_j = np.asarray(lj) + np.sum(self._logdetA)
         x = x.reshape(original_shape)

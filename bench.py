@@ -59,12 +59,14 @@ def main():
     tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
 
     t0 = time.time()
+    # chunked device calls: the remote-TPU tunnel kills minutes-long
+    # single XLA programs, and chunking costs <1% at these shapes
     tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
-                   n_update=n_warmup)
+                   n_update=50)
     dt_warm = time.time() - t0
 
     t0 = time.time()
-    tt = bf.sample(den, tt, n_run=n_post, verbose=False, n_update=n_post)
+    tt = bf.sample(den, tt, n_run=n_post, verbose=False, n_update=50)
     dt_post = time.time() - t0
 
     warm_iters_per_sec = n_chain * (n_warmup - 2) / dt_warm
