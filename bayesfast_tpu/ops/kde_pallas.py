@@ -145,17 +145,46 @@ def _cdf_batch_impl(x, data, w, h):
 def kde_cdf_batch(x, data, weights, h):
     """Batched KDE cdf across columns; see ``_cdf_batch_impl``. The caller
     pads queries (far positive -> cdf garbage rows it slices off); this
-    wrapper pads the data axis."""
+    wrapper pads the data axis.
+
+    When a device mesh is configured (``parallel.mesh.set_mesh``) the data
+    axis is sharded over it and each device accumulates the weighted-Phi
+    partial sums for its shard, combined with one ``psum`` — the TPU-native
+    form of the reference farming SIT per-dim fits over a process pool
+    (``bayesfast/transforms/sit.py:230``). The padded data length is rounded
+    up to a multiple of (mesh size x block) so every shard sees whole
+    blocks; padding rows carry zero weight, preserving exact sums.
+    """
+    from ..parallel.mesh import get_mesh, mesh_size
+
     x = jnp.asarray(x)
     data = jnp.asarray(data, x.dtype)
     weights = jnp.asarray(weights, x.dtype)
     h = jnp.asarray(h, x.dtype)
-    pad = (-data.shape[1]) % _BLK_N
+    mesh = get_mesh()
+    n_dev = mesh_size(mesh)
+    blk = _BLK_N * n_dev if n_dev > 1 else _BLK_N
+    pad = (-data.shape[1]) % blk
     if pad:
         data = jnp.concatenate(
             [data, jnp.full((data.shape[0], pad), 1e30, data.dtype)], axis=1)
         weights = jnp.concatenate(
             [weights, jnp.zeros((pad,), weights.dtype)])
+    if n_dev > 1:
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(mesh.axis_names)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(None, axes), P(axes), P()),
+                 out_specs=P(), check_vma=False)
+        def sharded(xq, d, w, hh):
+            part = _cdf_batch_impl(xq, d, w, hh)
+            for ax in axes:
+                part = jax.lax.psum(part, ax)
+            return part
+
+        return sharded(x, data, weights, h)
     return _cdf_batch_impl(x, data, weights, h)
 
 

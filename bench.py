@@ -6,13 +6,19 @@ Here the same density (D=32, Q=0.01, hard bounds [-15, 15], random SO(32)
 rotation, identical NUTS configuration) runs as one jitted float32 program
 with the chain axis batched on a single chip.
 
-Unlike round 1, the chains start from the honest raw Sobol cold start: the
-framework's start-descent + reasonable-step probe (exact-n_call-accounted
-features, see ``core.sample``) handle the |logp| ~ 3e6 landing zone that
-float32 energies cannot resolve. Warmup throughput is the headline
-(vs_baseline); the JSON line also carries post-warmup ESS/sec/chip (the
-BASELINE.json north-star metric), leapfrogs/sec, mean tree depth, and an
-HBM-bandwidth estimate under "extra".
+The chains start from the honest raw Sobol cold start: the framework's
+start-descent + reasonable-step probe (exact-n_call-accounted features, see
+``core.sample``) handle the |logp| ~ 3e6 landing zone. Since round 3 the
+package forces float32-accurate matmuls (``config.set_matmul_precision``),
+which removed the bf16-matmul gradient noise that previously saturated every
+float32 tree at the max-depth cap: post-warmup mean tree depth now sits below
+the cap and float32 matches float64 acceptance.
+
+Warmup throughput is the headline (vs_baseline); "extra" carries post-warmup
+ESS/sec/chip with a cross-chain-group error bar (the BASELINE.json
+north-star metric), tree statistics, leapfrogs/sec, and a measured roofline:
+the kernel's implied HBM traffic per second against the chip's *achieved*
+copy bandwidth measured in the same process.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -23,9 +29,34 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _setup_cache(jax):
+    """Persistent XLA compile cache: the flat-tree NUTS program takes
+    minutes to compile at large chain counts; repeat runs of the same
+    configuration (including the driver's) should pay it once."""
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(_REPO, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+
+def _measured_copy_bw(jnp, n_bytes=1 << 30):
+    """Achieved HBM copy bandwidth (read+write) for a big f32 buffer."""
+    import jax
+    x = jnp.zeros(n_bytes // 4, jnp.float32)
+    f = jax.jit(lambda a: a * 1.0000001)
+    f(x).block_until_ready()
+    t0 = time.time()
+    y = f(x)
+    y.block_until_ready()
+    dt = time.time() - t0
+    return 2 * n_bytes / dt / 1e9
+
 
 def main():
     import jax
+    _setup_cache(jax)
     import jax.numpy as jnp
     import bayesfast_tpu as bf
     from bayesfast_tpu.utils.acor import effective_sample_size
@@ -58,11 +89,10 @@ def main():
     # compile + start-descent + probe warm pass (2 iterations)
     tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
 
-    t0 = time.time()
     # chunked device calls: the remote-TPU tunnel kills minutes-long
     # single XLA programs, and chunking costs <1% at these shapes
-    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
-                   n_update=50)
+    t0 = time.time()
+    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False, n_update=50)
     dt_warm = time.time() - t0
 
     t0 = time.time()
@@ -72,17 +102,41 @@ def main():
     warm_iters_per_sec = n_chain * (n_warmup - 2) / dt_warm
     baseline = 88.0  # 8 chains x ~11 warmup it/s/chain on the Cori node
 
-    # post-warmup effective samples per second on this one chip
+    # post-warmup effective samples per second on this one chip, with a
+    # cross-group error bar: ESS is estimated independently on 8 disjoint
+    # chain groups; the total is their sum and the quoted error is the
+    # group scatter propagated to the sum
     s = tt.get(flatten=False)                      # (chain, iter, dim)
-    ess = float(np.sum(effective_sample_size(s)) / s.shape[-1])
+    n_grp = 8
+    gs = n_chain // n_grp
+    ess_g = np.array([
+        np.sum(effective_sample_size(s[g * gs:(g + 1) * gs])) / s.shape[-1]
+        for g in range(n_grp)])
+    ess = float(np.sum(ess_g))
+    ess_err = float(np.std(ess_g, ddof=1) * np.sqrt(n_grp))
     ess_per_sec = ess / dt_post
+    # integrated autocorrelation time and the emcee-style N >= 50 tau
+    # reliability check for the autocorrelation fit
+    tau = s.shape[1] / max(ess / n_chain, 1e-12)
+    ess_reliable = bool(s.shape[1] >= 50 * tau)
 
     st = tt.trace._stats_arrays
     depth_post = float(np.mean(st['tree_depth'][:, n_warmup:]))
     size_post = float(np.mean(st['tree_size'][:, n_warmup:]))
     leapfrogs_per_sec = n_chain * n_post * size_post / dt_post
-    # each leapfrog touches ~8 (D, C) f32 state arrays in HBM
-    hbm_gbs = leapfrogs_per_sec * 8 * D * 4 / 1e9
+
+    # ---- measured roofline (HBM side; this kernel is bandwidth/VPU bound,
+    # the only matmul is the (C,32)x(32,32) rotation) ----
+    # implied bytes per tree-leaf iteration, from the kernel layout
+    # (samplers/nuts.py): leapfrog reads+writes the 8-vector (D, C) state
+    # twice over (Kahan q/p + v + grad) ~ 16 D C f32 transfers; the fused
+    # first merge / frame push move ~2 frames of (3D+1+D+2) rows; cur-select
+    # rewrites the 8-vector state once more.
+    frame_rows = 4 * D + 3
+    bytes_per_leaf = (16 * D + 8 * D + 2 * frame_rows) * 4
+    implied_gbs = leapfrogs_per_sec * bytes_per_leaf / 1e9
+    copy_bw = _measured_copy_bw(jnp)
+    hbm_util = implied_gbs / copy_bw
 
     print(json.dumps({
         'metric': 'banana32_nuts_warmup_iters_per_sec',
@@ -92,11 +146,17 @@ def main():
         'extra': {
             'n_chain': n_chain,
             'ess_per_sec_per_chip': round(ess_per_sec, 1),
+            'ess_per_sec_err': round(ess_err / dt_post, 1),
+            'ess_total': round(ess, 1),
+            'tau_iterations': round(tau, 2),
+            'ess_estimate_reliable_n_ge_50tau': ess_reliable,
             'post_iters_per_sec': round(n_chain * n_post / dt_post, 1),
             'mean_tree_depth_post': round(depth_post, 2),
             'mean_tree_size_post': round(size_post, 1),
             'leapfrogs_per_sec': round(leapfrogs_per_sec, 0),
-            'hbm_gb_per_sec_estimate': round(hbm_gbs, 1),
+            'implied_hbm_gb_per_sec': round(implied_gbs, 1),
+            'measured_copy_bw_gb_per_sec': round(copy_bw, 1),
+            'hbm_utilization_vs_copy_peak': round(hbm_util, 3),
             'n_call': int(tt.n_call),
         },
     }))
