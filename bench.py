@@ -41,17 +41,38 @@ def _setup_cache(jax):
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 
-def _measured_copy_bw(jnp, n_bytes=1 << 30):
-    """Achieved HBM copy bandwidth (read+write) for a big f32 buffer."""
+def _measured_copy_bw(jnp, reps=8):
+    """Achieved HBM streaming bandwidth (read+write) for big f32 buffers.
+
+    Times a chain of full-array multiplies at two sizes and differences
+    them, so the fixed per-dispatch latency (milliseconds over a remote-TPU
+    tunnel) cancels: BW = (bytes_big - bytes_small) / (t_big - t_small).
+    Two platform gotchas force this shape: device-side repeat loops are
+    useless (XLA unrolls/fuses elementwise chains into one memory pass and
+    hoists scaled reductions — both measured as absurd >100 TB/s), and
+    ``block_until_ready`` does not synchronize on the tunneled platform, so
+    completion is forced by a 4-byte element transfer.
+    """
     import jax
-    x = jnp.zeros(n_bytes // 4, jnp.float32)
     f = jax.jit(lambda a: a * 1.0000001)
-    f(x).block_until_ready()
-    t0 = time.time()
-    y = f(x)
-    y.block_until_ready()
-    dt = time.time() - t0
-    return 2 * n_bytes / dt / 1e9
+
+    def time_chain(n_bytes):
+        x = jnp.ones(n_bytes // 4, jnp.float32)
+        y = f(x)
+        float(y[0])  # warm compile (pass + slice)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(reps):
+                x = f(x)
+            float(x[0])
+            best = min(best, (time.time() - t0) / reps)
+        return best
+
+    small, big = 1 << 27, 1 << 30
+    t_small = time_chain(small)
+    t_big = time_chain(big)
+    return 2 * (big - small) / max(t_big - t_small, 1e-9) / 1e9
 
 
 def main():

@@ -27,6 +27,13 @@ import jax
 import jax.numpy as jnp
 from scipy.stats import special_ortho_group
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import setup_cache, sync
+
+setup_cache()
+
 import bayesfast_tpu as bf
 from bayesfast_tpu.samplers import nuts
 
@@ -51,7 +58,8 @@ def make_density(D=32, Q=0.01):
 def main():
     C = int(os.environ.get('BENCH_N_CHAIN', 2048))
     D = 32
-    n_iter = int(os.environ.get('BENCH_N_ITER', 50))
+    # enough transitions that the ~3 ms tunnel round-trip is <1%
+    n_iter = int(os.environ.get('BENCH_N_ITER', 400))
 
     # ---- adapt: real warmup to the equilibrium workload ----
     den = make_density(D)
@@ -59,7 +67,7 @@ def main():
     x_0 = 0.05 * np.asarray(bf.utils.sobol.multivariate_normal(
         np.zeros(D), np.eye(D), C))
     tt = bf.sample(den, {'n_chain': C, 'n_iter': 400, 'n_warmup': 399,
-                         'x_0': x_0}, verbose=False, n_update=400)
+                         'x_0': x_0}, verbose=False, n_update=50)
     carry = tt.trace._carry
     q_eq = carry.q                                   # (C, D) equilibrium
     step = jnp.exp(carry.step.log_bar)               # adapted per-chain eps
@@ -85,10 +93,10 @@ def main():
         s, _ = jax.lax.scan(body, s, None, length=n)
         return s
 
-    n_floor = 2048
-    floor_scan(start, n_floor).q.block_until_ready()  # compile
+    n_floor = 65536
+    sync(floor_scan(start, n_floor).q)  # compile
     t0 = time.time()
-    floor_scan(start, n_floor).q.block_until_ready()
+    sync(floor_scan(start, n_floor).q)
     floor_us = (time.time() - t0) / n_floor * 1e6
 
     # ---- full transitions on the frozen configuration ----
@@ -106,10 +114,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     q, sizes, depths, div = run(key, q_eq)
-    q.block_until_ready()  # compile
+    sync(q)  # compile
     t0 = time.time()
     q, sizes, depths, div = run(key, q_eq)
-    q.block_until_ready()
+    sync(q)
     wall = time.time() - t0
 
     mean_leapfrogs = float(jnp.sum(jnp.mean(sizes.astype(jnp.float32),
