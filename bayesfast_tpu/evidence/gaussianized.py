@@ -43,9 +43,23 @@ def _as_chain_array(x_p):
 
 
 def _batched_logp(logp, x):
-    """Evaluate a logp callable over any leading shape in one batched call."""
+    """Evaluate a logp callable over any leading shape in one batched call.
+
+    With a device mesh configured the flattened batch is sharded over it
+    before the call (the TPU-native form of the reference pool-mapping
+    proposal logp evaluations, ``gaussianized.py:171-176``); sharding
+    propagates through the density's jitted batch evaluator.
+    """
+    from ..parallel.mesh import get_mesh, shard_batch
+
     lead = x.shape[:-1]
-    out = np.asarray(logp(x.reshape((-1, x.shape[-1]))))
+    flat = x.reshape((-1, x.shape[-1]))
+    if get_mesh() is not None:
+        # only convert to a device array when sharding applies — host-side
+        # logp callables (external likelihoods) keep receiving numpy
+        import jax.numpy as jnp
+        flat = shard_batch(jnp.asarray(flat))
+    out = np.asarray(logp(flat))
     return out.reshape(lead)
 
 

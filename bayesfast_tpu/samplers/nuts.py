@@ -390,22 +390,23 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
 
         pending = _trailing_ones(c['k'])
 
-        # ---- first binary-counter merge, fused against the leaf state;
-        # lanes that diverged or are finished keep a stale frame (their
-        # lane ends this iteration, the frame is never read)
-        def first_merge(stack):
-            t1 = stack[0]
-            merged, mturn = _merge_leaf(u[0], L, vel_fn, t1, new_state,
-                                        d_energy, prop_of)
-            ok = active & ~div
-            return jnp.where(ok, merged, t1), ok & mturn
-
-        def plain_leaf(stack):
-            return (L.leaf(new_state, d_energy, prop_of),
-                    jnp.zeros((C,), bool))
-
-        inc, turned = jax.lax.cond(pending > 0, first_merge, plain_leaf,
-                                   c['stack'])
+        # ---- first binary-counter merge, fused against the leaf state and
+        # computed UNCONDITIONALLY with a scalar select: a ``lax.cond``
+        # here forces pass-through copies of the frame every iteration
+        # (TPU conditionals materialize their operands/results; profiled as
+        # 44 copy ops per iteration in the cond-based formulation). When
+        # ``pending == 0`` the merge math runs on a stale stack frame and
+        # is discarded by the select — stale frames hold finite momenta, so
+        # no NaNs propagate. Lanes that diverged or are finished keep a
+        # stale frame (their lane ends this iteration, it is never read).
+        t1 = c['stack'][0]
+        merged, mturn = _merge_leaf(u[0], L, vel_fn, t1, new_state,
+                                    d_energy, prop_of)
+        leaf_vec = L.leaf(new_state, d_energy, prop_of)
+        ok_merge = active & ~div
+        did_first = pending > 0  # scalar: shared tree schedule
+        inc = jnp.where(did_first, jnp.where(ok_merge, merged, t1), leaf_vec)
+        turned = did_first & ok_merge & mturn
 
         # ---- deeper merges (trailing 1-bits >= 2): inner loop over the
         # remaining levels, entered only when needed so the common path
@@ -445,81 +446,73 @@ def nuts_core_batched(key, start, step_fn, prop_of, step_size, max_treedepth,
         stack = jax.lax.dynamic_update_index_in_dim(c['stack'], inc, w_idx,
                                                     axis=0)
 
-        # ---- subtree completion: main-tree doubling bookkeeping (scalar
-        # branch — most iterations skip all of it) ----
-        def completion(left, right, cur, p_sum, log_size, prop, go_right,
-                       eps, depth, done):
-            ok = active & ~abort
-            sub_ls = inc[L.i_log_size]
-            take = ok & (jnp.log(u[1]) < sub_ls - log_size)
-            prop = jnp.where(take, inc[L.sl_prop], prop)
-            log_size_new = jnp.where(ok, jnp.logaddexp(log_size, sub_ls),
-                                     log_size)
-            sub_p_sum = inc[L.sl_p_sum]
-            p_sum_new = p_sum + sub_p_sum
+        # ---- subtree completion: main-tree doubling bookkeeping, computed
+        # UNCONDITIONALLY and gated by the scalar ``sub_done`` broadcast
+        # into every lane mask. The former ``lax.cond`` formulation forced
+        # pass-through copies of left/right/cur/prop (~30 buffers) every
+        # iteration — the dominant per-iteration cost in the device
+        # profile; as masked selects the updates fuse into a few streaming
+        # passes instead.
+        left, right, p_sum, log_size, prop = (
+            c['left'], c['right'], c['p_sum'], c['log_size'], c['prop'])
+        go_right, eps, depth, done = (
+            c['go_right'], c['eps'], c['depth'], c['done'])
 
-            # spatial ends: the subtree's integration-order right end is cur
-            new_left = _bwhere(go_right, left, cur)
-            new_right = _bwhere(go_right, cur, right)
+        ok = sub_done & active & ~abort
+        sub_ls = inc[L.i_log_size]
+        take = ok & (jnp.log(u[1]) < sub_ls - log_size)
+        prop = jnp.where(take, inc[L.sl_prop], prop)
+        log_size = jnp.where(ok, jnp.logaddexp(log_size, sub_ls), log_size)
+        sub_p_sum = inc[L.sl_p_sum]
+        p_sum_new = p_sum + sub_p_sum
 
-            # main-tree turning checks (``nuts.py:88-101``): six dots packed
-            # into one (6, D, C) contraction, halves in spatial order
-            inc_left_p = inc[L.sl_left_p]
-            inc_left_v = vel_fn(inc_left_p)
-            lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
-            rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
-            lm_begin_v = jnp.where(go_right, left.v, cur.v)
-            lm_end_p = jnp.where(go_right, right.p, inc_left_p)
-            lm_end_v = jnp.where(go_right, right.v, inc_left_v)
-            rm_begin_p = jnp.where(go_right, inc_left_p, left.p)
-            rm_begin_v = jnp.where(go_right, inc_left_v, left.v)
-            rm_end_v = jnp.where(go_right, cur.v, right.v)
-            p_sum1 = lm_psum + rm_begin_p
-            p_sum2 = lm_end_p + rm_psum
-            lhs = jnp.stack([p_sum_new, p_sum_new, p_sum1, p_sum1,
-                             p_sum2, p_sum2], axis=0)
-            rhs = jnp.stack([new_left.v, new_right.v, lm_begin_v,
-                             rm_begin_v, lm_end_v, rm_end_v], axis=0)
-            dots = jnp.sum(lhs * rhs, axis=1)
-            turning_full = ((dots[0] <= 0) | (dots[1] <= 0) |
-                            (dots[2] <= 0) | (dots[3] <= 0) |
-                            (dots[4] <= 0) | (dots[5] <= 0))
+        # spatial ends: the subtree's integration-order right end is cur
+        new_left = _bwhere(go_right, left, cur)
+        new_right = _bwhere(go_right, cur, right)
 
-            left = _bwhere(ok, new_left, left)
-            right = _bwhere(ok, new_right, right)
-            p_sum = jnp.where(ok, p_sum_new, p_sum)
-            # the aborted extension still counts toward tree_depth, as in
-            # the reference where depth increments before the abort check
-            depth_new = jnp.where(active, depth + 1, depth)
-            finished = (active & abort) | (ok & (turning_full |
-                                                 (depth_new >=
-                                                  max_treedepth)))
-            done = done | finished
+        # main-tree turning checks (``nuts.py:88-101``): six dots packed
+        # into one (6, D, C) contraction, halves in spatial order
+        inc_left_p = inc[L.sl_left_p]
+        inc_left_v = vel_fn(inc_left_p)
+        lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
+        rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
+        lm_begin_v = jnp.where(go_right, left.v, cur.v)
+        lm_end_p = jnp.where(go_right, right.p, inc_left_p)
+        lm_end_v = jnp.where(go_right, right.v, inc_left_v)
+        rm_begin_p = jnp.where(go_right, inc_left_p, left.p)
+        rm_begin_v = jnp.where(go_right, inc_left_v, left.v)
+        rm_end_v = jnp.where(go_right, cur.v, right.v)
+        p_sum1 = lm_psum + rm_begin_p
+        p_sum2 = lm_end_p + rm_psum
+        lhs = jnp.stack([p_sum_new, p_sum_new, p_sum1, p_sum1,
+                         p_sum2, p_sum2], axis=0)
+        rhs = jnp.stack([new_left.v, new_right.v, lm_begin_v,
+                         rm_begin_v, lm_end_v, rm_end_v], axis=0)
+        dots = jnp.sum(lhs * rhs, axis=1)
+        turning_full = ((dots[0] <= 0) | (dots[1] <= 0) |
+                        (dots[2] <= 0) | (dots[3] <= 0) |
+                        (dots[4] <= 0) | (dots[5] <= 0))
 
-            # start the next doubling for lanes that completed and continue
-            start_next = ok & ~finished
-            gr_new = u[2] < 0.5
-            go_right = jnp.where(start_next, gr_new, go_right)
-            eps = jnp.where(start_next,
-                            jnp.where(gr_new, step_size, -step_size),
-                            eps).astype(dtype)
-            next_end = _bwhere(gr_new, right, left)
-            cur = _bwhere(start_next, next_end, cur)
-            return (left, right, cur, p_sum, log_size_new, prop, go_right,
-                    eps, depth_new, done)
+        left = _bwhere(ok, new_left, left)
+        right = _bwhere(ok, new_right, right)
+        p_sum = jnp.where(ok, p_sum_new, p_sum)
+        # the aborted extension still counts toward tree_depth, as in the
+        # reference where depth increments before the abort check; lanes
+        # aborting mid-subtree (divergence / inner U-turn) also count
+        depth = jnp.where(active & (sub_done | abort), depth + 1, depth)
+        finished = (active & abort) | (ok & (turning_full |
+                                             (depth >= max_treedepth)))
+        done = done | finished
 
-        def no_completion(left, right, cur, p_sum, log_size, prop, go_right,
-                          eps, depth, done):
-            # lanes can still abort mid-subtree (divergence / inner U-turn)
-            depth_new = jnp.where(active & abort, depth + 1, depth)
-            return (left, right, cur, p_sum, log_size, prop, go_right,
-                    eps, depth_new, done | (active & abort))
-
-        (left, right, cur, p_sum, log_size, prop, go_right, eps,
-         depth, done) = jax.lax.cond(
-            sub_done, completion, no_completion,
-            c['left'], c['right'], cur, c['p_sum'], c['log_size'],
-            c['prop'], c['go_right'], c['eps'], c['depth'], c['done'])
+        # start the next doubling for lanes that completed and continue
+        start_next = ok & ~finished
+        gr_new = u[2] < 0.5
+        go_right = jnp.where(start_next, gr_new, go_right)
+        eps = jnp.where(start_next,
+                        jnp.where(gr_new, step_size, -step_size),
+                        eps).astype(dtype)
+        next_end = _bwhere(gr_new, right, left)
+        cur = _bwhere(start_next, next_end, cur)
 
         k = jnp.where(sub_done, 0, k)
         depth_s = jnp.where(sub_done, c['depth_s'] + 1, c['depth_s'])
