@@ -75,6 +75,39 @@ def _measured_copy_bw(jnp, reps=8):
     return 2 * (big - small) / max(t_big - t_small, 1e-9) / 1e9
 
 
+def _measured_matmul_tflops(jnp, reps=8):
+    """Achieved f32 matmul throughput at the session's matmul precision.
+
+    Same differenced-size shape as ``_measured_copy_bw`` so the tunnel's
+    per-dispatch latency cancels. This is the honest MXU "peak" for the
+    FLOP-side roofline: the package forces f32-accurate matmuls
+    (multi-pass bf16 on the MXU), so the nominal bf16 peak is not the
+    achievable ceiling for this workload.
+    """
+    import jax
+    f = jax.jit(lambda x, w: x @ w)
+
+    def time_mm(n):
+        x = jnp.ones((n, n), jnp.float32)
+        w = jnp.eye(n, dtype=jnp.float32) * 1.0000001
+        y = f(x, w)
+        float(y[0, 0])  # warm compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(reps):
+                x = f(x, w)
+            float(x[0, 0])
+            best = min(best, (time.time() - t0) / reps)
+        return best
+
+    small, big = 2048, 8192
+    t_small = time_mm(small)
+    t_big = time_mm(big)
+    flops = 2 * (big ** 3 - small ** 3)
+    return flops / max(t_big - t_small, 1e-9) / 1e12
+
+
 def main():
     import jax
     _setup_cache(jax)
@@ -159,6 +192,14 @@ def main():
     copy_bw = _measured_copy_bw(jnp)
     hbm_util = implied_gbs / copy_bw
 
+    # ---- FLOP side: each leaf runs the (C, D) x (D, D) rotation twice
+    # (value + grad), 2 flops/MAC, per chain -> 4 D^2 flops/leaf/chain.
+    # Utilization is quoted against the chip's *measured* f32 matmul rate
+    # at the same (forced-accurate) precision, not a nominal bf16 peak.
+    implied_tflops = leapfrogs_per_sec * 4 * D * D / 1e12
+    mm_peak = _measured_matmul_tflops(jnp)
+    mxu_util = implied_tflops / mm_peak
+
     print(json.dumps({
         'metric': 'banana32_nuts_warmup_iters_per_sec',
         'value': round(warm_iters_per_sec, 2),
@@ -178,6 +219,9 @@ def main():
             'implied_hbm_gb_per_sec': round(implied_gbs, 1),
             'measured_copy_bw_gb_per_sec': round(copy_bw, 1),
             'hbm_utilization_vs_copy_peak': round(hbm_util, 3),
+            'implied_matmul_tflops': round(implied_tflops, 3),
+            'measured_matmul_peak_tflops': round(mm_peak, 1),
+            'mxu_utilization_vs_measured_peak': round(mxu_util, 4),
             'n_call': int(tt.n_call),
         },
     }))

@@ -110,6 +110,12 @@ def main():
     bytes_per_leaf = (16 * D + 8 * D + 2 * frame_rows) * 4
     implied_gbs = lf_per_sec * bytes_per_leaf / 1e9
     copy_bw = bench._measured_copy_bw(jnp)
+    # FLOP side (banana32: 2 (C,D)x(D,D) rotations per leaf; funnel16 has
+    # no matmul, so the field reports the elementwise-equivalent ~10 D
+    # flops/leaf/chain instead)
+    flops_per_leaf = 4 * D * D if target == 'banana32' else 10 * D
+    implied_tflops = lf_per_sec * flops_per_leaf / 1e12
+    mm_peak = bench._measured_matmul_tflops(jnp)
 
     rec = {
         'metric': f'scaling_{target}',
@@ -124,6 +130,9 @@ def main():
         'implied_hbm_gb_per_sec': round(implied_gbs, 1),
         'measured_stream_bw_gb_per_sec': round(copy_bw, 1),
         'hbm_utilization': round(implied_gbs / copy_bw, 4),
+        'implied_matmul_tflops': round(implied_tflops, 4),
+        'measured_matmul_peak_tflops': round(mm_peak, 1),
+        'mxu_utilization': round(implied_tflops / mm_peak, 5),
         'sample_wall_s': round(dt_warm + dt_post, 1),
     }
     print(json.dumps(rec))
