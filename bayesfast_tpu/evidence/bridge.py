@@ -1,81 +1,64 @@
-"""Optimal bridge sampling estimator (``bayesfast/evidence/bridge.py:10-76``).
+"""Optimal bridge sampling estimator of a log normalizer ratio.
 
-Solves the 1-d root of the optimal-bridge score function for log r = log Z,
-with an error estimate combining the proposal-sample variance and the
-chain-autocorrelation-corrected posterior-sample variance (computed both
-flattened and unflattened; warns on inconsistency).
+Parity target: ``bayesfast/evidence/bridge.py:10-76`` (Meng & Wong optimal
+bridge). Inputs are the four cross evaluations — target and proposal log
+densities on posterior draws (``*_p``) and on proposal draws (``*_q``).
+The optimal-bridge fixed point is found as the root of the 1-d score
+``score(logr) = 0``; the error combines the i.i.d. proposal-side term with
+the autocorrelation-deflated posterior-side term through the shared
+``_errors`` protocol (per-chain vs flattened tau, quote the larger).
 """
-
-import warnings
 
 import numpy as np
 from scipy.special import logsumexp
 from scipy.optimize import root_scalar
 
-from ..utils.acor import integrated_time
+from ._errors import (as_log_weight_pair, iid_rel_var, chain_rel_var,
+                      quote_error)
 
 __all__ = ['bridge']
 
 
+def _log_sigmoid(x):
+    """log(1/(1+exp(-x))), stably, elementwise."""
+    return -np.logaddexp(0.0, -x)
+
+
 def bridge(logp_p, logp_q, logq_p, logq_q):
-    lpp = np.asarray(logp_p)
-    lpq = np.asarray(logp_q)
-    lqp = np.asarray(logq_p)
-    lqq = np.asarray(logq_q)
+    """Return ``(logr, logr_err)`` from the four cross log densities.
 
-    if lqq.ndim not in (1, 2):
-        raise ValueError(f'dim of logq_q should be 1 or 2, instead of '
-                         f'{lqq.ndim}.')
-    if lpp.ndim not in (1, 2):
-        raise ValueError(f'dim of logp_p should be 1 or 2, instead of '
-                         f'{lpp.ndim}.')
-    if lpp.shape != lqp.shape:
-        raise ValueError('shape of logp_p is different from shape of logq_p.')
-    if lpq.shape != lqq.shape:
-        raise ValueError('shape of logp_q is different from shape of logq_q.')
+    ``logp_p``/``logq_p`` share the posterior-draw shape ((n,) or
+    (chain, iter)); ``logp_q``/``logq_q`` share the proposal-draw shape.
+    """
+    lpp, lqp = as_log_weight_pair(logp_p, logq_p, 'logp_p', 'logq_p')
+    lpq, lqq = as_log_weight_pair(logp_q, logq_q, 'logp_q', 'logq_q')
 
-    n_p = lpp.size
-    n_q = lqq.size
-    lppf, lpqf = lpp.reshape(-1), lpq.reshape(-1)
-    lqpf, lqqf = lqp.reshape(-1), lqq.reshape(-1)
-
-    _a = lqpf - lppf - np.log(n_p / n_q)
-    _b = lpqf - lqqf + np.log(n_p / n_q)
+    n_p, n_q = lpp.size, lqq.size
+    log_s = np.log(n_p / n_q)
+    # log importance ratios entering the optimal bridge, flat
+    a = (lqp - lpp).ravel() - log_s   # posterior side
+    b = (lpq - lqq).ravel() + log_s   # proposal side
 
     def score(logr):
-        _c = logsumexp(logr + _a - logsumexp(
-            np.stack((logr + _a, np.zeros_like(_a))), axis=0))
-        _d = logsumexp(-logr + _b - logsumexp(
-            np.stack((-logr + _b, np.zeros_like(_b))), axis=0))
-        return _c - _d
+        # logsumexp of sigmoid terms on each side; root at the fixed point
+        pos = logsumexp(_log_sigmoid(logr + a))
+        neg = logsumexp(_log_sigmoid(b - logr))
+        return pos - neg
 
-    logr = root_scalar(score, x0=0., x1=5.).root
+    logr = float(root_scalar(score, x0=0.0, x1=5.0).root)
 
-    f1 = np.exp(lpqf - logr - logsumexp(
-        np.stack((lpqf - logr + np.log(n_p / (n_p + n_q)),
-                  lqqf + np.log(n_q / (n_p + n_q)))), axis=0))
-    f2 = np.exp(lqpf - logsumexp(
-        np.stack((lppf - logr + np.log(n_p / (n_p + n_q)),
-                  lqpf + np.log(n_q / (n_p + n_q)))), axis=0))
-    re2_q = np.var(f1) / np.mean(f1) ** 2 / n_q
-
-    tau_uf = integrated_time(f2.reshape(lpp.shape)[..., np.newaxis],
-                             quiet=True)[0]
-    re2_p_uf = tau_uf * np.var(f2) / np.mean(f2) ** 2 / n_p
-    logr_err_uf = (re2_p_uf + re2_q) ** 0.5
-
-    tau_f = integrated_time(f2[..., np.newaxis], quiet=True)[0]
-    re2_p_f = tau_f * np.var(f2) / np.mean(f2) ** 2 / n_p
-    logr_err_f = (re2_p_f + re2_q) ** 0.5
-
-    diff_err = abs(logr_err_f - logr_err_uf) / min(logr_err_f, logr_err_uf)
-    logr_err = max(logr_err_f, logr_err_uf)
-
-    if diff_err > 0.25:
-        warnings.warn('the estimated error for logr may be unreliable, since '
-                      'flattening before estimating tau makes the result '
-                      'differ by more than 25%.', RuntimeWarning)
-    if logr_err > 0.25:
-        warnings.warn('the estimated error for logr may be unreliable, since '
-                      'the result is larger than 0.25.', RuntimeWarning)
-    return logr, logr_err
+    # error estimate: optimal-bridge weight functions at the solution
+    log_np = np.log(n_p / (n_p + n_q))
+    log_nq = np.log(n_q / (n_p + n_q))
+    lpq_f = lpq.ravel()
+    lqq_f = lqq.ravel()
+    lpp_f = lpp.ravel()
+    lqp_f = lqp.ravel()
+    f_q = np.exp(lpq_f - logr - np.logaddexp(lpq_f - logr + log_np,
+                                             lqq_f + log_nq))
+    f_p = np.exp(lqp_f - np.logaddexp(lpp_f - logr + log_np,
+                                      lqp_f + log_nq))
+    rel_var_q = iid_rel_var(f_q)
+    rel_chained, rel_flat = chain_rel_var(f_p, lpp.shape)
+    err = quote_error(rel_chained, rel_flat, extra_rel_var=rel_var_q)
+    return logr, err

@@ -1,45 +1,31 @@
-"""Harmonic-mean evidence estimator
-(``bayesfast/evidence/harmonic.py:9-46``)."""
+"""Harmonic-mean estimate of a log normalizer ratio.
 
-import warnings
+Parity target: ``bayesfast/evidence/harmonic.py:9-46``. Given POSTERIOR
+draws with an auxiliary normalized density q evaluated on them,
+``log r = -log mean(exp(logq - logp))`` estimates ``log Z``. Because the
+draws come from MCMC chains, the error bar is deflated by the integrated
+autocorrelation time of the weight series, estimated both per chain and
+flattened (see ``_errors``).
+"""
 
 import numpy as np
 from scipy.special import logsumexp
 
-from ..utils.acor import integrated_time
+from ._errors import as_log_weight_pair, chain_rel_var, quote_error
 
 __all__ = ['harmonic']
 
 
 def harmonic(logp_p, logq_p):
-    lpp = np.asarray(logp_p)
-    lqp = np.asarray(logq_p)
-    if lpp.ndim not in (1, 2):
-        raise ValueError(f'dim of logp_p should be 1 or 2, instead of '
-                         f'{lpp.ndim}.')
-    if lpp.shape != lqp.shape:
-        raise ValueError('shape of logp_p is different from shape of logq_p.')
+    """Return ``(logr, logr_err)`` from posterior-sample log densities.
 
-    n_p = lpp.size
-    lppf, lqpf = lpp.reshape(-1), lqp.reshape(-1)
-
-    logr = -logsumexp(lqpf - lppf, b=1 / n_p)
-    foo = np.exp(lqpf - lppf + logr)
-
-    tau_uf = integrated_time(foo.reshape(lpp.shape)[..., np.newaxis],
-                             quiet=True)[0]
-    logr_err_uf = (tau_uf * np.var(foo) / np.mean(foo) ** 2 / n_p) ** 0.5
-    tau_f = integrated_time(foo[..., np.newaxis], quiet=True)[0]
-    logr_err_f = (tau_f * np.var(foo) / np.mean(foo) ** 2 / n_p) ** 0.5
-
-    diff_err = abs(logr_err_f - logr_err_uf) / min(logr_err_f, logr_err_uf)
-    logr_err = max(logr_err_f, logr_err_uf)
-
-    if diff_err > 0.25:
-        warnings.warn('the estimated error for logr may be unreliable, since '
-                      'flattening before estimating tau makes the result '
-                      'differ by more than 25%.', RuntimeWarning)
-    if logr_err > 0.25:
-        warnings.warn('the estimated error for logr may be unreliable, since '
-                      'the result is larger than 0.25.', RuntimeWarning)
-    return logr, logr_err
+    Parameters are the target and auxiliary log densities on the SAME
+    posterior draws, shape (n,) or (chain, iteration).
+    """
+    lp, lq = as_log_weight_pair(logp_p, logq_p, 'logp_p', 'logq_p')
+    log_w = (lq - lp).ravel()
+    logr = float(np.log(log_w.size) - logsumexp(log_w))
+    w_rel = np.exp(log_w + logr)  # weights in units of their mean
+    rel_chained, rel_flat = chain_rel_var(w_rel, lp.shape)
+    err = quote_error(rel_chained, rel_flat)
+    return logr, err

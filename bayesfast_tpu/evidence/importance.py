@@ -1,31 +1,30 @@
-"""Importance-sampling evidence estimator
-(``bayesfast/evidence/importance.py:8-33``)."""
+"""Importance-sampling estimate of a log normalizer ratio.
 
-import warnings
+Parity target: ``bayesfast/evidence/importance.py:8-33``. Given draws from
+a proposal q with known density and the unnormalized target logp evaluated
+on them, ``log r = log mean(exp(logp - logq))`` estimates ``log Z``; the
+draws are treated as independent (the proposal here is always an exactly
+sampled flow), so the error bar carries no autocorrelation correction.
+"""
 
 import numpy as np
 from scipy.special import logsumexp
+
+from ._errors import as_log_weight_pair, iid_rel_var, quote_error
 
 __all__ = ['importance']
 
 
 def importance(logp_q, logq_q):
-    lpq = np.asarray(logp_q)
-    lqq = np.asarray(logq_q)
-    if lqq.ndim not in (1, 2):
-        raise ValueError(f'dim of logq_q should be 1 or 2, instead of '
-                         f'{lqq.ndim}.')
-    if lpq.shape != lqq.shape:
-        raise ValueError('shape of logp_q is different from shape of logq_q.')
+    """Return ``(logr, logr_err)`` from proposal-sample log densities.
 
-    n_q = lqq.size
-    lpqf, lqqf = lpq.reshape(-1), lqq.reshape(-1)
-
-    logr = logsumexp(lpqf - lqqf, b=1 / n_q)
-    foo = np.exp(lpqf - lqqf - logr)
-    logr_err = (np.var(foo) / np.mean(foo) ** 2 / n_q) ** 0.5
-
-    if logr_err > 0.25:
-        warnings.warn('the estimated error for logr may be unreliable, since '
-                      'the result is larger than 0.25.', RuntimeWarning)
-    return logr, logr_err
+    Parameters are the target and proposal log densities on the SAME
+    proposal draws, shape (n,) or (chain, iteration).
+    """
+    lp, lq = as_log_weight_pair(logp_q, logq_q, 'logp_q', 'logq_q')
+    log_w = (lp - lq).ravel()
+    logr = float(logsumexp(log_w) - np.log(log_w.size))
+    w_rel = np.exp(log_w - logr)  # weights in units of their mean
+    rel_var = iid_rel_var(w_rel)
+    err = quote_error(rel_var, rel_var)
+    return logr, err

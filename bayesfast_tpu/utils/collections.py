@@ -1,57 +1,79 @@
-"""Variable containers (``bayesfast/utils/collections.py``).
+"""Named-variable containers used by the pipeline graph.
 
-``VariableDict`` keeps named function values and Jacobians; ``PropertyList``
-is a list that re-validates on every mutation.
+API parity targets: ``bayesfast/utils/collections.py`` (``VariableDict``,
+``PropertyList``). The internals here are organised differently: a
+``VariableDict`` keeps ONE slot table mapping each variable name to a
+two-element ``[value, jacobian]`` record, and the ``fun`` / ``jac``
+attributes are lightweight mapping views into slot 0 / slot 1 of that
+table. This keeps value+jacobian pairs physically adjacent (they are
+almost always written together by the pipeline executor) while preserving
+the reference's dual-dict access pattern.
 """
 
-from collections import OrderedDict
 import copy
-import warnings
+from collections.abc import MutableMapping
 
 import numpy as np
 
 __all__ = ['VariableDict', 'PropertyList']
 
+_MISSING_MSG = ('variable "%s" has neither a value nor a jacobian recorded '
+                'in this VariableDict.')
+
+
+class _SlotView(MutableMapping):
+    """Mapping view over one slot (0=value, 1=jacobian) of a slot table."""
+
+    __slots__ = ('_table', '_slot')
+
+    def __init__(self, table, slot):
+        self._table = table
+        self._slot = slot
+
+    def __getitem__(self, name):
+        rec = self._table.get(name)
+        if rec is None:
+            return None
+        return rec[self._slot]
+
+    def __setitem__(self, name, value):
+        rec = self._table.get(name)
+        if rec is None:
+            rec = self._table[name] = [None, None]
+        rec[self._slot] = value
+
+    def __delitem__(self, name):
+        rec = self._table[name]
+        rec[self._slot] = None
+        if rec[0] is None and rec[1] is None:
+            del self._table[name]
+
+    def __iter__(self):
+        return iter(self._table)
+
+    def __len__(self):
+        return len(self._table)
+
+    def __contains__(self, name):
+        return name in self._table
+
 
 class VariableDict:
-    """Ordered (fun, jac) pair store keyed by variable name."""
+    """Per-evaluation record of named pipeline variables.
+
+    Each variable name owns a ``[value, jacobian]`` slot pair. ``vd.fun``
+    and ``vd.jac`` are live views; ``vd[name]`` returns a length-2 object
+    array ``(value, jacobian)`` and ``vd[name] = (value, jacobian)`` fills
+    both slots, matching the reference interface
+    (``bayesfast/utils/collections.py:9-77``).
+    """
+
+    __slots__ = ('_table', '_fun', '_jac')
 
     def __init__(self):
-        self._fun = OrderedDict()
-        self._jac = OrderedDict()
-
-    def __getitem__(self, key):
-        if isinstance(key, str):
-            fun = self._fun.get(key)
-            jac = self._jac.get(key)
-            if fun is None and jac is None:
-                warnings.warn(
-                    f'you asked for the key "{key}", but we found neither its '
-                    'fun nor its jac.', RuntimeWarning)
-            out = np.empty(2, dtype=object)
-            out[0], out[1] = fun, jac
-            return out
-        elif isinstance(key, (list, tuple, np.ndarray)):
-            new_dict = VariableDict()
-            for k in key:
-                new_dict._fun[k] = self._fun.get(k)
-                new_dict._jac[k] = self._jac.get(k)
-                if new_dict._fun[k] is None and new_dict._jac[k] is None:
-                    warnings.warn(
-                        f'you asked for the key "{k}", but we found neither '
-                        'its fun nor its jac.', RuntimeWarning)
-            return new_dict
-        raise ValueError('key should be a str, or a list/tuple/np.ndarray of '
-                         'str.')
-
-    def __setitem__(self, key, value):
-        if not isinstance(key, str):
-            raise ValueError('key should be a str.')
-        try:
-            self._fun[key] = value[0]
-            self._jac[key] = value[1]
-        except Exception:
-            raise ValueError('failed to get the values for fun and jac.')
+        self._table = {}
+        self._fun = _SlotView(self._table, 0)
+        self._jac = _SlotView(self._table, 1)
 
     @property
     def fun(self):
@@ -61,77 +83,133 @@ class VariableDict:
     def jac(self):
         return self._jac
 
+    def _pair(self, name):
+        rec = self._table.get(name)
+        if rec is None:
+            import warnings
+            warnings.warn(_MISSING_MSG % name, RuntimeWarning)
+            rec = (None, None)
+        out = np.empty(2, dtype=object)
+        out[0], out[1] = rec[0], rec[1]
+        return out
+
+    def __getitem__(self, name):
+        if isinstance(name, str):
+            return self._pair(name)
+        if isinstance(name, (list, tuple, np.ndarray)):
+            sub = VariableDict()
+            for n in name:
+                pair = self._pair(n)
+                sub._table[n] = [pair[0], pair[1]]
+            return sub
+        raise ValueError('VariableDict keys are variable names (str) or '
+                         'sequences of names.')
+
+    def __setitem__(self, name, pair):
+        if not isinstance(name, str):
+            raise ValueError('VariableDict keys are variable names (str).')
+        try:
+            value, jacobian = pair[0], pair[1]
+        except (TypeError, IndexError, KeyError) as exc:
+            raise ValueError('assignment expects a (value, jacobian) '
+                             'pair.') from exc
+        self._table[name] = [value, jacobian]
+
+    def __contains__(self, name):
+        return name in self._table
+
+    def __repr__(self):
+        names = ', '.join(self._table)
+        return f'VariableDict({names})'
+
     @classmethod
-    def get(cls, var_dicts, key, target='fun'):
-        if not isinstance(key, str):
-            raise ValueError('key should be a str.')
+    def get(cls, var_dicts, name, target='fun'):
+        """Extract one variable across a VariableDict or a sequence of them,
+        stacking to an array in the sequence case."""
+        if not isinstance(name, str):
+            raise ValueError('VariableDict keys are variable names (str).')
         if target not in ('fun', 'jac'):
-            raise ValueError('target should be fun or jac.')
+            raise ValueError("target should be 'fun' or 'jac'.")
+        slot = 0 if target == 'fun' else 1
         if isinstance(var_dicts, VariableDict):
-            return getattr(var_dicts, target)[key]
-        elif hasattr(var_dicts, '__iter__'):
-            return np.asarray([cls.get(vd, key, target) for vd in var_dicts])
+            rec = var_dicts._table.get(name)
+            return None if rec is None else rec[slot]
+        if hasattr(var_dicts, '__iter__'):
+            return np.asarray([cls.get(vd, name, target) for vd in var_dicts])
+        raise ValueError('var_dicts should be a VariableDict or an iterable '
+                         'of them.')
 
 
 class PropertyList:
-    """List wrapper re-running a validation callback on every mutation."""
+    """List whose contents pass through a normalising check on mutation.
+
+    Used for module/surrogate/variable-name lists whose setters must
+    re-validate after in-place edits (reference
+    ``bayesfast/utils/collections.py:80-143``). Implemented by subclass-free
+    delegation: every mutating list method is routed through ``_apply``,
+    which runs the operation and then replaces the backing list with the
+    checker's (possibly normalised) output.
+    """
+
+    _MUTATORS = frozenset(('append', 'extend', 'insert', 'remove', 'pop',
+                           'clear', 'sort', 'reverse'))
+    _READERS = frozenset(('index', 'count'))
 
     def __init__(self, iterable=(), check=None):
-        if isinstance(iterable, PropertyList):
-            self._list = iterable._list.copy()
-        elif isinstance(iterable, str):
-            self._list = [iterable]
-        else:
-            self._list = list(iterable)
-        self._check = check
-        if callable(self._check):
-            self.check()
-        elif self._check is not None:
+        if check is not None and not callable(check):
             raise ValueError('check should be callable or None.')
+        if isinstance(iterable, PropertyList):
+            items = list(iterable._items)
+        elif isinstance(iterable, str):
+            items = [iterable]
+        else:
+            items = list(iterable)
+        self._items = items
+        self._check = check
+        self.check()
 
     def check(self):
         if self._check is not None:
-            self._list = list(self._check(self._list))
+            self._items = list(self._check(self._items))
 
-    def _mutator(self, name):
-        f = getattr(self._list, name)
-
-        def wrapped(*args, **kwargs):
-            res = f(*args, **kwargs)
-            self.check()
-            return res
-
-        return wrapped
+    def _apply(self, method, *args, **kwargs):
+        result = getattr(self._items, method)(*args, **kwargs)
+        self.check()
+        return result
 
     def __getattr__(self, name):
-        if name in ('append', 'extend', 'insert', 'remove', 'pop', 'clear',
-                    'sort', 'reverse'):
-            return self._mutator(name)
-        if name in ('index', 'count'):
-            return getattr(self._list, name)
+        if name in PropertyList._MUTATORS:
+            return lambda *a, **kw: self._apply(name, *a, **kw)
+        if name in PropertyList._READERS:
+            return getattr(self._items, name)
         if name == 'copy':
             return lambda: copy.copy(self)
         raise AttributeError(name)
 
-    def __getitem__(self, key):
-        return self._list[key]
+    def __getitem__(self, i):
+        return self._items[i]
 
-    def __setitem__(self, key, item):
-        self._list[key] = item
+    def __setitem__(self, i, item):
+        self._items[i] = item
         self.check()
 
-    def __delitem__(self, key):
-        del self._list[key]
+    def __delitem__(self, i):
+        del self._items[i]
         self.check()
 
     def __len__(self):
-        return len(self._list)
+        return len(self._items)
 
     def __iter__(self):
-        return iter(self._list)
+        return iter(self._items)
+
+    def __eq__(self, other):
+        if isinstance(other, PropertyList):
+            return self._items == other._items
+        return self._items == other
 
     def __str__(self):
-        return str(self._list)
+        return str(self._items)
 
     def __repr__(self):
-        return repr(self._list)
+        return f'PropertyList({self._items!r})'
