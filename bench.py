@@ -101,7 +101,11 @@ def _measured_matmul_tflops(jnp, reps=8):
             best = min(best, (time.time() - t0) / reps)
         return best
 
-    small, big = 2048, 8192
+    # both sizes sit well inside the compute-bound regime, so the
+    # differenced rate assumes equal MXU efficiency at the two sizes —
+    # at 4096/8192 that holds to a few percent (a 2048 small size ran at
+    # visibly lower efficiency and overstated the differenced peak)
+    small, big = 4096, 8192
     t_small = time_mm(small)
     t_big = time_mm(big)
     flops = 2 * (big ** 3 - small ** 3)

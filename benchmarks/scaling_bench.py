@@ -110,12 +110,18 @@ def main():
     bytes_per_leaf = (16 * D + 8 * D + 2 * frame_rows) * 4
     implied_gbs = lf_per_sec * bytes_per_leaf / 1e9
     copy_bw = bench._measured_copy_bw(jnp)
-    # FLOP side (banana32: 2 (C,D)x(D,D) rotations per leaf; funnel16 has
-    # no matmul, so the field reports the elementwise-equivalent ~10 D
-    # flops/leaf/chain instead)
-    flops_per_leaf = 4 * D * D if target == 'banana32' else 10 * D
-    implied_tflops = lf_per_sec * flops_per_leaf / 1e12
-    mm_peak = bench._measured_matmul_tflops(jnp)
+    # FLOP side: banana32's density is 2 (C,D)x(D,D) rotations per leaf,
+    # so its roofline is the measured MXU matmul peak. funnel16 has no
+    # matmul at all — its ~10 D elementwise flops/leaf run on the VPU, so
+    # it gets a separate implied_vpu_tflops field and the (multi-second)
+    # matmul-peak micro-bench is skipped for it.
+    has_matmul = target == 'banana32'
+    if has_matmul:
+        flops_per_leaf = 4 * D * D
+        implied_tflops = lf_per_sec * flops_per_leaf / 1e12
+        mm_peak = bench._measured_matmul_tflops(jnp)
+    else:
+        implied_vpu_tflops = lf_per_sec * 10 * D / 1e12
 
     rec = {
         'metric': f'scaling_{target}',
@@ -130,11 +136,14 @@ def main():
         'implied_hbm_gb_per_sec': round(implied_gbs, 1),
         'measured_stream_bw_gb_per_sec': round(copy_bw, 1),
         'hbm_utilization': round(implied_gbs / copy_bw, 4),
-        'implied_matmul_tflops': round(implied_tflops, 4),
-        'measured_matmul_peak_tflops': round(mm_peak, 1),
-        'mxu_utilization': round(implied_tflops / mm_peak, 5),
         'sample_wall_s': round(dt_warm + dt_post, 1),
     }
+    if has_matmul:
+        rec['implied_matmul_tflops'] = round(implied_tflops, 4)
+        rec['measured_matmul_peak_tflops'] = round(mm_peak, 1)
+        rec['mxu_utilization'] = round(implied_tflops / mm_peak, 5)
+    else:
+        rec['implied_vpu_tflops'] = round(implied_vpu_tflops, 5)
     print(json.dumps(rec))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         'results.jsonl')
