@@ -891,7 +891,18 @@ class Recipe:
 
                 n_is_used = samples.shape[0]
                 logp = np.asarray(self._true_logp(samples)).reshape(-1)
-                weights = np.exp(logp - logq)
+                # failed true-model evaluations (nan/inf logp — e.g. an
+                # external likelihood returning nan rows, DES notebook
+                # cell 12) get zero weight instead of poisoning the mean
+                # that sets the truncation threshold
+                bad = ~np.isfinite(logp) & ~np.isneginf(logp)
+                if bad.any():
+                    warnings.warn(
+                        f'{int(bad.sum())}/{logp.size} importance-sampling '
+                        'evaluations of the true density were non-finite; '
+                        'they get zero weight.', RuntimeWarning)
+                weights = np.where(bad, 0.0, np.exp(
+                    np.where(bad, -np.inf, logp) - logq))
                 if step.k_trunc < 0:
                     weights_trunc = weights.copy()
                 else:
@@ -933,6 +944,9 @@ class Recipe:
         quadrature (reference ``recipe.py:1299-1308``)."""
         logz_q, logz_err_q = step.evidence_method.run(
             x_p=trace_q, logp=self._surro_logp, logp_p=logq_q)
+        # failed true-model evaluations contribute zero density mass
+        logp = np.where(~np.isfinite(logp) & ~np.isneginf(logp),
+                        -np.inf, logp)
         logz_pq = logsumexp(logp - logq, b=1 / logp.size)
         ratio = np.exp(logp - logq - logz_pq)
         tau = float(integrated_time(ratio, quiet=True))
