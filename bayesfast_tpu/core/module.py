@@ -33,6 +33,16 @@ from collections import namedtuple
 SurrogateScope = namedtuple('SurrogateScope', ['i_step', 'n_step'])
 
 
+def _external_row_job(fun, fun_args, fun_kwargs, np_args):
+    """One external evaluation for the host pool — top-level so process
+    pools can pickle it, numpy-only so workers never touch JAX."""
+    out = fun(*np_args, *fun_args, **fun_kwargs)
+    if not isinstance(out, (list, tuple)):
+        out = [out]
+    return np.concatenate([np.atleast_1d(np.asarray(o, np.float64))
+                           for o in out])
+
+
 class ModuleBase:
     """Base class: subclasses define ``_fun`` (and optionally ``_jac``,
     ``_fun_and_jac``); see ``Module`` for the wrapper that takes callables."""
@@ -155,6 +165,36 @@ class ModuleBase:
     def _fun_traced(self, ctx, *args):
         """Default: delegate to ``self._fun`` ignoring the params context."""
         return self._fun(*args, *self._fun_args, **self._fun_kwargs)
+
+    def _map_external(self, backend, batched_inputs, n_rows):
+        """Batched external dispatch over a host pool.
+
+        Prepares every row's inputs in-process (rescale/reshape touch JAX),
+        ships ONLY the raw user callable plus numpy args to the backend's
+        workers, and splits the outputs in-process — so a process pool
+        (``ParallelBackend(kind='processes')``, the GIL-proof analog of the
+        reference's 64-process DES map, ``recipe.py:1085-1087``) never
+        imports or touches JAX in its workers.
+        """
+        if self._output_shapes is None:
+            raise ValueError('non-traceable modules need output_shapes to '
+                             'declare their output size.')
+        dtype = get_dtype()
+        rows = []
+        for i in range(n_rows):
+            prepped = self._prepare_inputs(
+                [np.asarray(a[i]) for a in batched_inputs])
+            rows.append(tuple(np.asarray(p) for p in prepped))
+        outs = backend.map(_external_row_job,
+                           [self._fun] * n_rows, [self._fun_args] * n_rows,
+                           [self._fun_kwargs] * n_rows, rows)
+        cat = np.stack([np.asarray(o) for o in outs]).astype(dtype)
+        shapes = self._output_shapes
+        cum = self._output_cum
+        if shapes.size > 1:
+            return [jnp.asarray(cat[:, cum[i]:cum[i + 1]])
+                    for i in range(shapes.size)]
+        return [jnp.asarray(cat)]
 
     # ------------- host-facing wrappers -------------
 

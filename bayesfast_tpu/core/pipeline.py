@@ -233,12 +233,16 @@ class Pipeline(_PipelineBase):
                 d[n] = x[self._input_cum[i]:self._input_cum[i + 1]]
         return d
 
-    def _eval_vars(self, x, params, original_space, use_surrogate):
-        """Traced single-point evaluation to a dict of jnp arrays."""
+    def _seed_point(self, x, original_space):
+        """Transform one input point and seed the named-variable dict."""
         x = jnp.asarray(x, get_dtype())
         if not original_space:
             x = self._to_original_j(x)
-        d = self._seed_vars(x)
+        return self._seed_vars(x)
+
+    def _eval_vars(self, x, params, original_space, use_surrogate):
+        """Traced single-point evaluation to a dict of jnp arrays."""
+        d = self._seed_point(x, original_space)
         for kind, idx in self._plan(use_surrogate):
             module = self._module_by_ref(kind, idx)
             p = params[kind + 's'][idx] if params is not None else None
@@ -266,16 +270,33 @@ class Pipeline(_PipelineBase):
             return single(x), False
         flat = x.reshape((-1, x.shape[-1]))
         if self._has_external(use_surrogate):
-            # external modules run eagerly on host (no pure_callback under
-            # vmap — tunneled TPU backends lack host send/recv), but
-            # concurrently: each point's evaluation is farmed over the
-            # ParallelBackend thread pool, mirroring the reference's
-            # 64-process DES pattern (``recipe.py:1085-1087``) for
-            # seconds-per-call external likelihoods.
+            # staged execution: traceable stages run as ONE vmapped device
+            # call over the whole batch, each external stage fans its rows
+            # out over the ParallelBackend pool (threads for GIL-releasing
+            # models, processes for pure-Python ones — the reference's
+            # 64-process DES pattern, ``recipe.py:1085-1087``). No
+            # pure_callback under vmap: tunneled TPU backends lack host
+            # send/recv.
             from ..utils.parallel import get_backend
-            outs = get_backend().map(single,
-                                     [flat[i] for i in range(flat.shape[0])])
-            out = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+            backend = get_backend()
+            n_rows = int(flat.shape[0])
+            d = jax.vmap(lambda xi: self._seed_point(xi, original_space))(
+                flat)
+            for kind, idx in self._plan(use_surrogate):
+                module = self._module_by_ref(kind, idx)
+                p = params[kind + 's'][idx] if params is not None else None
+                inputs = [d[n] for n in module.input_vars]
+                if module.traceable:
+                    outputs = jax.vmap(
+                        lambda *ins, _m=module, _p=p:
+                        _m._call_traced(list(ins), _p))(*inputs)
+                else:
+                    outputs = module._map_external(backend, inputs, n_rows)
+                for n, o in zip(module.output_vars, outputs):
+                    d[n] = o
+                for n in module._delete_vars:
+                    del d[n]
+            out = d
         else:
             out = jax.vmap(single)(flat)
         return out, x.shape[:-1]

@@ -6,29 +6,40 @@ program, so the reference's process-pool chain parallelism
 What remains host-bound is the *external* true-model path — the DES/cosmosis
 pattern where each likelihood call shells out to a foreign pipeline for
 seconds at a time (``bayesfast/core/recipe.py:1085-1087`` farms those over a
-64-process pool). ``ParallelBackend`` fills that role with a thread pool:
-threads are the right tool because external models release the GIL (they
-sleep on subprocesses, sockets, or BLAS), and they share the in-process JAX
-runtime, which a forked worker cannot.
+64-process pool). ``ParallelBackend`` fills that role with two pool kinds:
 
-``set_backend(n)`` fixes the worker count; the default backend sizes a
-transient pool to the work. ``set_backend(ParallelBackend(serial=True))``
-restores a plain serial map for debugging. An existing
-``concurrent.futures`` executor can also be passed and will be used as-is
-(not shut down on exit).
+* ``'threads'`` (default): right when the external model releases the GIL
+  (subprocess waits, sockets, BLAS), and the only kind that may touch the
+  in-process JAX runtime.
+* ``'processes'``: right for pure-Python likelihoods that HOLD the GIL —
+  the reference's multiprocess semantics. Workers are forked (spawn
+  available via ``mp_context``), the mapped callable and its arguments
+  must be picklable (module-level functions, numpy arrays), and worker
+  code must not touch JAX — the pipeline's external dispatch honors this
+  by shipping only the raw user callable plus prepared numpy inputs.
+
+``set_backend(n)`` fixes the worker count; ``set_backend((n, 'processes'))``
+or ``set_backend(ParallelBackend(n, kind='processes'))`` selects the
+process pool. ``set_backend(ParallelBackend(serial=True))`` restores a
+plain serial map for debugging. An existing ``concurrent.futures`` executor
+can also be passed and is used as-is (not shut down on exit).
 """
 
+import multiprocessing
 import os
-from concurrent.futures import Executor, ThreadPoolExecutor
+from concurrent.futures import (Executor, ProcessPoolExecutor,
+                                ThreadPoolExecutor)
 
 __all__ = ['ParallelBackend', 'get_backend', 'set_backend']
 
 
-def _auto_workers(n_items):
-    """Pool size for the default backend: enough threads to overlap every
+def _auto_workers(n_items, processes=False):
+    """Pool size for the default backend: enough workers to overlap every
     pending external call, capped so pathological batch sizes don't spawn
-    thousands of threads."""
-    cap = max(32, 4 * (os.cpu_count() or 1))
+    thousands of them. Process pools additionally cap at the core count —
+    GIL-bound work gains nothing beyond it."""
+    n_cpu = os.cpu_count() or 1
+    cap = n_cpu if processes else max(32, 4 * n_cpu)
     return max(1, min(n_items, cap))
 
 
@@ -38,24 +49,41 @@ class ParallelBackend:
     Parameters
     ----------
     backend : None, int, Executor or ParallelBackend, optional
-        ``None`` (default) uses a transient thread pool sized to each map
-        call. An int pins the pool width. An ``Executor`` is used directly.
+        ``None`` (default) uses a transient pool sized to each map call.
+        An int pins the pool width. An ``Executor`` is used directly.
     serial : bool, optional
         Force a plain in-order Python map (useful under pdb or when the
         external model is not thread-safe).
+    kind : {'threads', 'processes'}, optional
+        Pool flavor; defaults to threads. Ignored when an explicit
+        ``Executor`` or ``serial=True`` is given.
+    mp_context : str, optional
+        Multiprocessing start method for ``kind='processes'``; default
+        ``'fork'`` (workers inherit imports — no per-worker JAX re-import;
+        worker code must stay JAX-free). Pass ``'spawn'`` for libraries
+        that are not fork-safe.
     """
 
-    def __init__(self, backend=None, serial=False):
+    def __init__(self, backend=None, serial=False, kind=None,
+                 mp_context='fork'):
         if isinstance(backend, ParallelBackend):
             serial = serial or backend._serial
+            kind = kind or backend._kind
+            mp_context = backend._mp_context
             backend = backend._spec
+        elif isinstance(backend, tuple) and len(backend) == 2:
+            backend, kind = backend
         if not (backend is None or isinstance(backend, (int, Executor))):
             raise ValueError('backend should be None, an int worker count, '
                              'an Executor, or another ParallelBackend.')
         if isinstance(backend, int) and backend <= 0:
             raise ValueError('worker count should be positive.')
+        if kind not in (None, 'threads', 'processes'):
+            raise ValueError("kind should be 'threads' or 'processes'.")
         self._spec = backend
         self._serial = bool(serial)
+        self._kind = kind or 'threads'
+        self._mp_context = mp_context
         self._entered = None  # pool owned by an active `with` block
 
     @property
@@ -64,11 +92,17 @@ class ParallelBackend:
             return 'serial'
         if isinstance(self._spec, Executor):
             return 'executor'
-        return 'threads'
+        return self._kind
 
     @property
     def backend(self):
         return self._spec
+
+    def _make_pool(self, width):
+        if self._kind == 'processes':
+            ctx = multiprocessing.get_context(self._mp_context)
+            return ProcessPoolExecutor(width, mp_context=ctx)
+        return ThreadPoolExecutor(width)
 
     def _pool_for(self, n_items):
         """(executor, owns_it) for a map over ``n_items`` elements."""
@@ -79,15 +113,15 @@ class ParallelBackend:
         if isinstance(self._spec, Executor):
             return self._spec, False
         width = self._spec if isinstance(self._spec, int) else \
-            _auto_workers(n_items)
-        return ThreadPoolExecutor(width), True
+            _auto_workers(n_items, self._kind == 'processes')
+        return self._make_pool(width), True
 
     def __enter__(self):
         # Pre-open a pool so repeated map() calls inside the block reuse it.
         if not self._serial and not isinstance(self._spec, Executor):
             width = self._spec if isinstance(self._spec, int) else \
-                _auto_workers(_auto_workers(1 << 30))
-            self._entered = ThreadPoolExecutor(width)
+                _auto_workers(1 << 30, self._kind == 'processes')
+            self._entered = self._make_pool(width)
         return self
 
     def __exit__(self, *exc):
@@ -102,6 +136,11 @@ class ParallelBackend:
         if pool is None:
             return [fun(*args) for args in jobs]
         try:
+            if self.kind == 'processes' or isinstance(
+                    pool, ProcessPoolExecutor):
+                # process pools need a picklable top-level callable — the
+                # lambda wrapper used for threads would fail to pickle
+                return list(pool.map(fun, *zip(*jobs)))
             return list(pool.map(lambda args: fun(*args), jobs))
         finally:
             if owns:
@@ -145,6 +184,8 @@ def get_backend():
 
 
 def set_backend(backend):
-    """Replace the global backend (int = fixed thread count, None = auto)."""
+    """Replace the global backend: int = fixed thread count, None = auto,
+    ``(n, 'processes')`` = fixed process-pool width, or a configured
+    ``ParallelBackend``."""
     global _backend
     _backend = ParallelBackend(backend)
