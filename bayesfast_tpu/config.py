@@ -57,6 +57,28 @@ def default_int():
     return jnp.int32
 
 
+# Which NUTS transition kernel the batched driver uses:
+#   'xla'    (default) — the flat while_loop tree kernel (samplers/nuts.py)
+#   'pallas' — the whole-transition Mosaic megakernel
+#              (samplers/nuts_pallas.py): one dispatch per transition,
+#              diag metric only, density must trace into Mosaic
+#   'auto'   — try 'pallas', fall back to 'xla' if the density fails to
+#              lower (gathers, unsupported ops, non-diag metric, mesh runs)
+_nuts_kernel = 'xla'
+
+
+def set_nuts_kernel(mode):
+    """Select the NUTS transition kernel: 'xla', 'pallas', or 'auto'."""
+    global _nuts_kernel
+    if mode not in ('xla', 'pallas', 'auto'):
+        raise ValueError("nuts kernel should be 'xla', 'pallas' or 'auto'.")
+    _nuts_kernel = mode
+
+
+def get_nuts_kernel():
+    return _nuts_kernel
+
+
 # ---------------------------------------------------------------------------
 # Matmul precision.
 #

@@ -22,6 +22,15 @@ from ..ops import constraint as _con
 __all__ = ['Pipeline', 'Density', 'DensityLite']
 
 
+def _as_scalar(v):
+    """Coerce a logp value to a 0-d array WITHOUT a gratuitous reshape:
+    ``jnp.reshape(x, ())`` on an already-scalar tracer still records a
+    reshape op whose vmap-transpose emits a scalar->scalar broadcast that
+    Mosaic (the Pallas TPU compiler) rejects."""
+    v = jnp.asarray(v)
+    return v if v.shape == () else v.reshape(())
+
+
 class _PipelineBase:
     """Constraint-transform utilities shared by Pipeline/Density/DensityLite
     (``density.py:24-173``)."""
@@ -195,10 +204,10 @@ class DensityLite(_PipelineBase, _DensityBase):
                 host_fn, jax.ShapeDtypeStruct((), get_dtype()), x_o,
                 vmap_method='expand_dims')
         if self._logp is not None:
-            return jnp.reshape(jnp.asarray(
-                self._logp(x_o, *self._logp_args, **self._logp_kwargs)), ())
+            return _as_scalar(
+                self._logp(x_o, *self._logp_args, **self._logp_kwargs))
         if self._logp_and_grad is not None:
-            return jnp.reshape(jnp.asarray(self._logp_and_grad(x_o)[0]), ())
+            return _as_scalar(self._logp_and_grad(x_o)[0])
         raise RuntimeError('No valid definition of logp is found.')
 
     def _logp_trans_1(self, x_t):
@@ -210,7 +219,7 @@ class DensityLite(_PipelineBase, _DensityBase):
         f = self._logp_1 if original_space else self._logp_trans_1
         if self._logp_and_grad is not None and original_space:
             lp, g = self._logp_and_grad(x)
-            return jnp.reshape(jnp.asarray(lp), ()), jnp.asarray(g)
+            return _as_scalar(lp), jnp.asarray(g)
         if (self._grad is not None and self._logp is not None
                 and original_space):
             return f(x), jnp.asarray(self._grad(x))
@@ -221,7 +230,7 @@ class DensityLite(_PipelineBase, _DensityBase):
             x_o = self._to_original_j(x)
             if self._logp_and_grad is not None:
                 lp, g_o = self._logp_and_grad(x_o)
-                lp = jnp.reshape(jnp.asarray(lp), ())
+                lp = _as_scalar(lp)
             else:
                 lp, g_o = self._logp_1(x_o), jnp.asarray(self._grad(x_o))
             tog = _con.to_original_grad(x, self._input_scales,

@@ -436,11 +436,16 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     # reuse the compiled driver across continuation calls on the same
     # (trace, density) pair — a fresh ChainDriver would recompile the whole
     # sampling program every bf.sample invocation
-    cached = getattr(trace, '_driver_cache', None)
-    if cached is not None and cached[0] == (id(density), algo):
-        driver = cached[1]
-    else:
-        driver = ChainDriver(
+    from ..config import get_nuts_kernel
+    kernel_mode = get_nuts_kernel()
+    # the Pallas megakernel is a single-program kernel; mesh-sharded runs
+    # stay on the XLA tree loop (auto-SPMD cannot partition the custom call)
+    use_pallas = (kernel_mode in ('pallas', 'auto') and algo == 'nuts'
+                  and mesh is None)
+    nuts_kernel = 'pallas' if use_pallas else 'xla'
+
+    def _build_driver(nk):
+        return ChainDriver(
             density.device_logp_and_grad(original_space=False),
             algorithm=algo,
             max_treedepth=getattr(trace, 'max_treedepth', 10),
@@ -453,8 +458,16 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             pooled_metric=getattr(trace, 'pooled_metric', False),
             max_leapfrogs=getattr(trace, 'max_leapfrogs', 1024),
             adapt_traj_len=getattr(trace, 'adapt_traj_len', True),
-            chees_lr=getattr(trace, 'chees_lr', 0.025))
-        trace._driver_cache = ((id(density), algo), driver)
+            chees_lr=getattr(trace, 'chees_lr', 0.025),
+            nuts_kernel=nk)
+
+    cached = getattr(trace, '_driver_cache', None)
+    if cached is not None and cached[0] == (id(density), algo,
+                                            nuts_kernel):
+        driver = cached[1]
+    else:
+        driver = _build_driver(nuts_kernel)
+        trace._driver_cache = ((id(density), algo, nuts_kernel), driver)
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)
@@ -487,8 +500,19 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         params = density.current_params()
         if tempered:
             params = (params, base_density.current_params())
-        carry, (samples, (stats, extras)) = driver.run(
-            carry, warmup_flags, params)
+        try:
+            carry, (samples, (stats, extras)) = driver.run(
+                carry, warmup_flags, params)
+        except Exception:
+            # 'auto' kernel mode: densities that fail to lower into Mosaic
+            # (gathers, exotic ops) fall back to the XLA tree loop
+            if not (use_pallas and kernel_mode == 'auto'):
+                raise
+            use_pallas = False
+            driver = _build_driver('xla')
+            trace._driver_cache = ((id(density), algo, 'xla'), driver)
+            carry, (samples, (stats, extras)) = driver.run(
+                carry, warmup_flags, params)
         samples = np.asarray(samples)  # (n_step, n_chain, dim[+1])
         if tempered:
             samples = samples[..., 1:]  # strip the tempering coordinate

@@ -43,7 +43,9 @@ class ChainDriver:
                  gamma=0.05, k=0.75, t_0=10., adapt_step_size=True,
                  update_window=1, doubling=True, adapt_metric=True,
                  logp_and_grad_base=None, pooled_metric=False,
-                 max_leapfrogs=1024, adapt_traj_len=True, chees_lr=0.025):
+                 max_leapfrogs=1024, adapt_traj_len=True, chees_lr=0.025,
+                 nuts_kernel='xla'):
+        self._nuts_kernel = nuts_kernel
         self._max_leapfrogs = int(max_leapfrogs)
         self._adapt_traj_len = bool(adapt_traj_len)
         self._chees_lr = float(chees_lr)
@@ -125,9 +127,21 @@ class ChainDriver:
             q_new = jnp.concatenate([u_new[:, None], q_new], axis=1)
         else:
             lpg_b = jax.vmap(lambda x: self._logp_and_grad(params, x))
-            q_new, stats = nuts_transition_batched(
-                k_core, q, metric, eps, lpg_b,
-                self._max_treedepth, self._max_change)
+            from .metrics import DiagMetricState
+            if (self._nuts_kernel == 'pallas'
+                    and isinstance(metric, DiagMetricState)):
+                from .nuts_pallas import nuts_transition_batched_pallas
+                lpg_pb = lambda p, xb: jax.vmap(
+                    lambda x: self._logp_and_grad(p, x))(xb)
+                q_new, stats = nuts_transition_batched_pallas(
+                    k_core, q, metric, eps, None,
+                    self._max_treedepth, self._max_change,
+                    interpret=jax.default_backend() == 'cpu',
+                    params=params, lpg_pb=lpg_pb)
+            else:
+                q_new, stats = nuts_transition_batched(
+                    k_core, q, metric, eps, lpg_b,
+                    self._max_treedepth, self._max_change)
         accept_stat = stats.mean_tree_accept
         step_state = update_step_size(
             step_state, accept_stat, warmup, self._target_accept, self._gamma,

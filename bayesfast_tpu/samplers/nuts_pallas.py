@@ -1,0 +1,579 @@
+"""Whole-transition NUTS megakernel (Pallas TPU).
+
+Motivation: the XLA formulation of the iterative tree loop
+(``nuts.nuts_core_batched``) is structurally tight but executes ~90 small
+sequential HLO ops per leaf iteration, each paying fixed dispatch latency —
+profiled at ~17.9x the leapfrog memory floor at 2048 chains, with the chip
+>98% idle. This kernel collapses an ENTIRE NUTS transition (momentum
+in-hand, every doubling, every binary-counter merge, every U-turn check)
+into ONE ``pallas_call``: the tree loop runs as a ``lax.while_loop``
+*inside* the kernel, all state lives in VMEM for the duration, and the
+per-iteration uniforms come from the on-core PRNG
+(``pltpu.prng_random_bits``) instead of counter-based host keys.
+
+Semantics mirror ``nuts.nuts_core_batched`` (itself matching the
+reference's recursive builder, ``bayesfast/samplers/nuts.py:22-217``):
+multinomial proposal via log-size logbern at every merge, generalized
+U-turn checks including the extra inner-subtree checks at merged depth > 1
+and at every main-tree extension, divergence on ``|dE| >= max_change``,
+per-leaf acceptance statistics, aborted extensions never merging. The ONLY
+behavioral difference is the random stream (hardware PRNG vs
+``jax.random``) — per-transition statistics are distribution-identical but
+not bitwise-reproducible against the XLA kernel.
+
+Scope (the fast path's contract, checked by the wrapper):
+  * diagonal metric (shared or per-chain);
+  * the density's batched ``logp_and_grad`` must trace into Mosaic — pure
+    ``jnp`` elementwise + ``dot`` ops (the wrapper falls back to the XLA
+    kernel at build time if lowering fails);
+  * float32 lane-minor blocks: chains are tiled in ``block`` lanes per
+    grid cell, every vector is (D, block), per-chain scalars (1, block).
+
+Each grid cell runs its own while loop to completion, so a block whose
+chains all finish early stops integrating — finer-grained than the global
+all-lanes loop of the XLA path.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .metrics import DiagMetricState, sample_momentum_b
+from .nuts import NutsStats
+
+__all__ = ['nuts_transition_batched_pallas', 'make_nuts_pallas']
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full-avalanche bijection on uint32."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _uniforms(seed, it, salt, shape):
+    """Counter-based f32 uniforms in [0, 1), pure jnp uint32 ops.
+
+    Stateless — (seed, iteration, salt, lane) fully determine the draw —
+    so the stream is identical in compiled Mosaic and interpret mode,
+    letting CPU tests validate the exact compiled behavior (the TPU
+    hardware PRNG has no interpret-mode implementation). Two murmur3
+    finalizer rounds over golden-ratio-spread counters give full
+    avalanche between neighboring counters.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    x = (seed
+         ^ (lane * jnp.uint32(0x9E3779B9))
+         ^ (row * jnp.uint32(0x7FEB352D))
+         ^ (it.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+         ^ jnp.uint32(salt) * jnp.uint32(0xC2B2AE3D))
+    x = _fmix32(_fmix32(x) + jnp.uint32(0x165667B1))
+    fl = jax.lax.bitcast_convert_type(
+        (x >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+    return fl - 1.0
+
+
+def _trailing_ones(k, max_bits):
+    """Trailing 1-bits of scalar ``k`` = binary-counter merges after leaf
+    ``k``. Written as a tiny scalar fori (population_count of (x & -x) - 1
+    does not lower on the scalar core)."""
+
+    def body(i, acc):
+        cont, cnt = acc
+        bit = jax.lax.shift_right_logical(k, i) & 1
+        cont = cont & (bit == 1)
+        return cont, cnt + jnp.where(cont, 1, 0)
+
+    _, cnt = jax.lax.fori_loop(0, max_bits, body,
+                               (jnp.bool_(True), jnp.int32(0)))
+    return cnt
+
+
+def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
+                       qo_ref, logp_ref, en_ref, de_ref, depth_ref,
+                       size_ref, asum_ref, mde_ref, div_ref, stack_ref,
+                       *, lpg_t, D, Cb, max_treedepth, max_change, dtype):
+    """One chain block, one full NUTS transition. All shapes static:
+    vectors (D, Cb), per-chain scalars (1, Cb)."""
+    seed = (seed_ref[0, 0].astype(jnp.uint32)
+            + pl.program_id(0).astype(jnp.uint32)
+            * jnp.uint32(1640531527))
+
+    n_lvl = max(int(max_treedepth) - 1, 1)
+    P = D + 2                      # proposal rows: q, energy, logp
+    TOT = 3 * D + 1 + P            # stack frame rows
+
+    def velocity(p):
+        return var_ref[:] * p
+
+    def energy_of(p, v, logp2):
+        return 0.5 * jnp.sum(p * v, axis=0, keepdims=True) - logp2
+
+    def kahan_add(x, c, delta):
+        y = delta - c
+        t = x + y
+        return t, (t - x) - y
+
+    # ---- start state ----
+    q0 = q0_ref[:]
+    p0 = p0_ref[:]
+    logp0, grad0 = lpg_t(q0)
+    v0 = velocity(p0)
+    e0 = energy_of(p0, v0, logp0)
+    # zeros DERIVED FROM LOADED DATA, not jnp.zeros: Mosaic lays constant
+    # vectors out replicated, the while carry inherits that layout from the
+    # init, and the body's (non-replicated) updates then fail to relayout
+    # back into the carry ("invalid relayout ... replicated in destination")
+    zero_v = q0 * 0
+    zero_s = eps_ref[:] * 0
+    zero_i = zero_s.astype(jnp.int32)
+
+    def leapfrog(eps, q, p, grad, cq, cp):
+        """eps (1, Cb) signed; returns the new (q, p, v, grad, e, logp,
+        cq, cp)."""
+        dt = 0.5 * eps
+        p_half, cp = kahan_add(p, cp, dt * grad)
+        v_half = velocity(p_half)
+        q_new, cq = kahan_add(q, cq, eps * v_half)
+        logp, grad = lpg_t(q_new)
+        p_new, cp = kahan_add(p_half, cp, dt * grad)
+        v_new = velocity(p_new)
+        e = energy_of(p_new, v_new, logp)
+        return q_new, p_new, v_new, grad, e, logp, cq, cp
+
+    def pack_state(q, p, grad, cq, cp, e, logp):
+        return (q, p, grad, cq, cp, e, logp)
+
+    def sel_state(m, a, b):
+        return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+    start = pack_state(q0, p0, grad0, zero_v, zero_v, e0, logp0)
+
+    def leaf_frame(q, p, e, logp, d_energy):
+        """Depth-1 frame: [left_p | right_p | p_sum | log_size | prop]."""
+        return jnp.concatenate(
+            [p, p, p, -d_energy, q, e, logp], axis=0)
+
+    def merge_frames(u, t1, t2, merged_depth):
+        """Join older/left frame t1 with newer/right frame t2 (both
+        (TOT, Cb)); mirrors ``nuts._merge_b`` with the extra inner U-turn
+        checks when the merged depth exceeds 1."""
+        ps1 = t1[2 * D:3 * D]
+        ps2 = t2[2 * D:3 * D]
+        p_sum = ps1 + ps2
+        p_sum1 = ps1 + t2[0:D]
+        p_sum2 = t1[D:2 * D] + ps2
+        v1l = velocity(t1[0:D])
+        v1r = velocity(t1[D:2 * D])
+        v2l = velocity(t2[0:D])
+        v2r = velocity(t2[D:2 * D])
+        d0 = jnp.sum(p_sum * v1l, axis=0, keepdims=True)
+        d1 = jnp.sum(p_sum * v2r, axis=0, keepdims=True)
+        d2 = jnp.sum(p_sum1 * v1l, axis=0, keepdims=True)
+        d3 = jnp.sum(p_sum1 * v2l, axis=0, keepdims=True)
+        d4 = jnp.sum(p_sum2 * v1r, axis=0, keepdims=True)
+        d5 = jnp.sum(p_sum2 * v2r, axis=0, keepdims=True)
+        turning = (d0 <= 0) | (d1 <= 0)
+        extra = (d2 <= 0) | (d3 <= 0) | (d4 <= 0) | (d5 <= 0)
+        turning = turning | ((merged_depth > 1) & extra)
+        ls1 = t1[3 * D:3 * D + 1]
+        ls2 = t2[3 * D:3 * D + 1]
+        log_size = jnp.logaddexp(ls1, ls2)
+        take2 = jnp.log(u) < ls2 - log_size
+        tail = jnp.where(take2, t2[3 * D + 1:], t1[3 * D + 1:])
+        merged = jnp.concatenate(
+            [t1[0:D], t2[D:2 * D], p_sum, log_size, tail], axis=0)
+        return merged, turning
+
+    # ---- loop carry (values; Mosaic keeps them in VMEM) ----
+    init = (
+        start,                    # cur integrator state (7-tuple)
+        start,                    # left
+        start,                    # right
+        jnp.concatenate([q0, e0, logp0], axis=0),   # prop (P, Cb)
+        p0,                       # p_sum
+        zero_s,                   # log_size
+        jnp.int32(0),             # k (scalar leaf counter)
+        jnp.int32(0),             # depth_s (scalar subtree depth)
+        zero_i,                   # depth
+        # per-lane flags carried as int32 — Mosaic cannot round-trip i1
+        # vectors through the loop carry (i8 memory -> i1 truncation)
+        (_uniforms(seed, jnp.int32(-1), 7, (1, Cb)) < 0.5
+         ).astype(jnp.int32),     # go_right
+        zero_s,                   # eps (filled below)
+        zero_s,                   # accept_sum
+        zero_i,                   # n_prop
+        zero_s,                   # max_de
+        zero_i,                   # diverging
+        zero_i,                   # done
+        jnp.int32(0),             # it (global iteration counter for RNG)
+    )
+    # stale frames must hold finite momenta (masked merges still compute
+    # on them), so the scratch stack is zeroed up front
+    stack_ref[...] = jnp.zeros((n_lvl + 1, TOT, Cb), dtype)
+    step_size = eps_ref[:]
+    eps0 = jnp.where(init[9] != 0, step_size, -step_size)
+    init = init[:10] + (eps0,) + init[11:]
+
+    def cond(c):
+        return jnp.any(c[15] == 0)
+
+    def body(c):
+        (cur, left, right, prop, p_sum, log_size, k, depth_s,
+         depth, go_right_i, eps, accept_sum, n_prop, max_de, diverging_i,
+         done_i, it) = c
+        go_right = go_right_i != 0
+        diverging = diverging_i != 0
+        done = done_i != 0
+        u = _uniforms(seed, it, 0, (3, Cb))
+        u0 = u[0:1]
+        u1 = u[1:2]
+        u2 = u[2:3]
+        active = ~done
+
+        # ---- one leapfrog, every iteration ----
+        cq, cp = cur[3], cur[4]
+        nq, npm, nv, ng, ne, nlp, ncq, ncp = leapfrog(
+            eps, cur[0], cur[1], cur[2], cq, cp)
+        new_state = pack_state(nq, npm, ng, ncq, ncp, ne, nlp)
+        d_energy = ne - e0
+        d_energy = jnp.where(jnp.isnan(d_energy), jnp.inf, d_energy)
+        div = active & ~(jnp.abs(d_energy) < max_change)
+        upd = active & (jnp.abs(d_energy) > jnp.abs(max_de))
+        max_de = jnp.where(upd, d_energy, max_de)
+        accept = jnp.minimum(1.0, jnp.exp(-d_energy))
+        accept_sum = accept_sum + jnp.where(active & ~div, accept, 0.)
+        # int arithmetic, not active.astype: Mosaic gives i1->i32 extensions
+        # of carried-flag predicates a replicated layout that the add then
+        # cannot consume (invalid relayout)
+        n_prop = n_prop + 1 - done_i
+        cur = sel_state(active & ~div, new_state, cur)
+        diverging = diverging | div
+
+        pending = _trailing_ones(k, max_treedepth)
+
+        # ---- binary-counter merges: unconditional first merge against the
+        # live leaf (stale frames are finite, results discarded by masks),
+        # deeper merges in a rarely-entered scalar-bounded loop ----
+        leaf_vec = leaf_frame(nq, npm, ne, nlp, d_energy)
+        t1 = stack_ref[0]
+        merged, mturn = merge_frames(u0, t1, leaf_vec, jnp.int32(1))
+        ok_merge = active & ~div
+        did_first = pending > 0
+        inc = jnp.where(did_first, jnp.where(ok_merge, merged, t1), leaf_vec)
+        turned = did_first & ok_merge & mturn
+
+        def deep_cond(s):
+            return s[0] < pending
+
+        def deep_body(s):
+            m, inc, turned_i = s
+            turned = turned_i != 0
+            um = _uniforms(seed, it * jnp.int32(16) + m, 3, (1, Cb))
+            t1 = stack_ref[m]
+            merged, mturn = merge_frames(um, t1, inc, m + 1)
+            ok = active & ~div & ~turned
+            inc = jnp.where(ok, merged, inc)
+            return m + 1, inc, (turned | (ok & mturn)).astype(jnp.int32)
+
+        _, inc, turning_sub_i = jax.lax.while_loop(
+            deep_cond, deep_body,
+            (jnp.int32(1), inc, turned.astype(jnp.int32)))
+        turning_sub = turning_sub_i != 0
+
+        abort = div | turning_sub
+        k = k + 1
+        n_leaf = jax.lax.shift_left(jnp.int32(1), depth_s)
+        sub_done = k == n_leaf
+        w_idx = jnp.where(sub_done, n_lvl, pending)
+        stack_ref[w_idx] = inc
+
+        # ---- subtree completion: main-tree doubling bookkeeping, masked
+        # selects gated by the scalar sub_done ----
+        ok = sub_done & active & ~abort
+        sub_ls = inc[3 * D:3 * D + 1]
+        take = ok & (jnp.log(u1) < sub_ls - log_size)
+        prop = jnp.where(take, inc[3 * D + 1:], prop)
+        log_size = jnp.where(ok, jnp.logaddexp(log_size, sub_ls), log_size)
+        sub_p_sum = inc[2 * D:3 * D]
+        p_sum_new = p_sum + sub_p_sum
+
+        new_left = sel_state(go_right, left, cur)
+        new_right = sel_state(go_right, cur, right)
+
+        # main-tree U-turn checks (halves in spatial order)
+        inc_left_p = inc[0:D]
+        inc_left_v = velocity(inc_left_p)
+        left_v = velocity(left[1])
+        right_v = velocity(right[1])
+        cur_v = velocity(cur[1])
+        lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
+        rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
+        lm_begin_v = jnp.where(go_right, left_v, cur_v)
+        lm_end_p = jnp.where(go_right, right[1], inc_left_p)
+        lm_end_v = jnp.where(go_right, right_v, inc_left_v)
+        rm_begin_p = jnp.where(go_right, inc_left_p, left[1])
+        rm_begin_v = jnp.where(go_right, inc_left_v, left_v)
+        rm_end_v = jnp.where(go_right, cur_v, right_v)
+        p_sum1 = lm_psum + rm_begin_p
+        p_sum2 = lm_end_p + rm_psum
+        nl_v = velocity(new_left[1])
+        nr_v = velocity(new_right[1])
+        t0 = jnp.sum(p_sum_new * nl_v, axis=0, keepdims=True)
+        t1d = jnp.sum(p_sum_new * nr_v, axis=0, keepdims=True)
+        t2d = jnp.sum(p_sum1 * lm_begin_v, axis=0, keepdims=True)
+        t3d = jnp.sum(p_sum1 * rm_begin_v, axis=0, keepdims=True)
+        t4d = jnp.sum(p_sum2 * lm_end_v, axis=0, keepdims=True)
+        t5d = jnp.sum(p_sum2 * rm_end_v, axis=0, keepdims=True)
+        turning_full = ((t0 <= 0) | (t1d <= 0) | (t2d <= 0) |
+                        (t3d <= 0) | (t4d <= 0) | (t5d <= 0))
+
+        left = sel_state(ok, new_left, left)
+        right = sel_state(ok, new_right, right)
+        p_sum = jnp.where(ok, p_sum_new, p_sum)
+        depth = jnp.where(active & (sub_done | abort), depth + 1, depth)
+        finished = (active & abort) | (ok & (turning_full |
+                                             (depth >= max_treedepth)))
+        done = done | finished
+
+        start_next = ok & ~finished
+        gr_new = u2 < 0.5
+        # selects over BOOL values trip Mosaic's i1/i8 legalization — keep
+        # the flag in int32 through the update, bools only as predicates
+        go_right_i = jnp.where(start_next, gr_new.astype(jnp.int32),
+                               go_right.astype(jnp.int32))
+        eps = jnp.where(start_next,
+                        jnp.where(gr_new, step_size, -step_size), eps)
+        next_end = sel_state(gr_new, right, left)
+        cur = sel_state(start_next, next_end, cur)
+
+        k = jnp.where(sub_done, 0, k)
+        depth_s = jnp.where(sub_done, depth_s + 1, depth_s)
+
+        return (cur, left, right, prop, p_sum, log_size, k, depth_s,
+                depth, go_right_i, eps, accept_sum, n_prop,
+                max_de, diverging.astype(jnp.int32),
+                done.astype(jnp.int32), it + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    prop = out[3]
+    qo_ref[:] = prop[0:D]
+    en_ref[:] = prop[D:D + 1]
+    logp_ref[:] = prop[D + 1:D + 2]
+    de_ref[:] = prop[D:D + 1] - e0
+    depth_ref[:] = out[8]
+    size_ref[:] = out[12]
+    asum_ref[:] = out[11]
+    mde_ref[:] = out[13]
+    div_ref[:] = out[14].astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_for(C, D):
+    """Lane-block width: multiples of 128 lanes, capped by a VMEM budget.
+
+    The compiler's measured scoped-stack footprint at D=32 is ~43 KB/lane
+    (stack + double-buffered while carry + density temporaries), i.e.
+    ~1350 bytes x D per lane; budget 12 MB of the 16 MB scoped limit.
+    """
+    budget = 12 * 2 ** 20
+    for b in (512, 256, 128):
+        if C % b == 0 and 1350 * D * b <= budget:
+            return b
+    # small/odd chain counts: single block
+    return C
+
+
+def _pack_const(c):
+    """Lower one hoisted closure constant to a Pallas-friendly input:
+    bools ride as int32, sub-2-d shapes get leading singleton dims."""
+    c = jnp.asarray(c)
+    is_bool = c.dtype == jnp.bool_
+    if is_bool:
+        c = c.astype(jnp.int32)
+    shape = c.shape
+    if c.ndim == 0:
+        c = c.reshape(1, 1)
+    elif c.ndim == 1:
+        c = c.reshape(1, -1)
+    return c, shape, is_bool
+
+
+def _unpack_const(ref, shape, is_bool):
+    if shape == ():               # scalar: riding in SMEM
+        x = ref[0, 0]
+    else:
+        x = ref[:]
+        x = x.reshape(shape) if shape != x.shape else x
+    return (x != 0) if is_bool else x
+
+
+def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
+                     block=None, interpret=False):
+    """Build the jittable whole-transition kernel.
+
+    ``lpg_pb(params, x)`` maps a dynamic-parameter pytree plus (n, D)
+    positions to ((n,), (n, D)) and must trace into Mosaic. The function is
+    traced ONCE to a closed jaxpr: its captured constants (rotation
+    matrices, bound masks...) and the flattened ``params`` leaves
+    (surrogate coefficients — runtime values, so refits never rebuild the
+    kernel) all become replicated kernel inputs, and the jaxpr is
+    re-evaluated inside the kernel via ``eval_jaxpr``. Returns
+    ``fn(seed, q0_t, p0_t, var_t, eps, flat_params) -> dict`` of
+    lane-minor outputs.
+    """
+    if block is None:
+        block = _block_for(C, D)
+    if C % block:
+        raise ValueError(f'n_chain {C} not divisible by block {block}.')
+    grid = (C // block,)
+
+    flat_params, params_tree = jax.tree.flatten(params)
+    p_ex = [jax.ShapeDtypeStruct(jnp.shape(l), jnp.result_type(l))
+            for l in flat_params]
+    n_params = len(flat_params)
+
+    def flatfn(*args):
+        p = jax.tree.unflatten(params_tree, list(args[:n_params]))
+        return lpg_pb(p, args[n_params])
+
+    cj = jax.make_jaxpr(flatfn)(
+        *p_ex, jax.ShapeDtypeStruct((block, D), dtype))
+    packed = [_pack_const(c) for c in cj.consts]
+    const_vals = [p[0] for p in packed]
+    const_meta = [(p[1], p[2]) for p in packed]
+    n_consts = len(const_vals)
+
+    def kernel(*refs):
+        const_refs = refs[5:5 + n_consts]
+        param_refs = refs[5 + n_consts:5 + n_consts + n_params]
+        cvals = [_unpack_const(r, s, b)
+                 for r, (s, b) in zip(const_refs, const_meta)]
+
+        def lpg_t(q_t):
+            pvals = [_unpack_const(r, s, b)
+                     for r, (s, b) in zip(param_refs, _param_meta)]
+            logp, grad = jax.core.eval_jaxpr(
+                cj.jaxpr, cvals, *pvals, q_t.T)
+            return logp[None, :], grad.T
+
+        rest = refs[5 + n_consts + n_params:]
+        _nuts_block_kernel(
+            refs[0], refs[1], refs[2], refs[3], refs[4], *rest,
+            lpg_t=lpg_t, D=D, Cb=block, max_treedepth=int(max_treedepth),
+            max_change=float(max_change), dtype=dtype)
+
+    vec_spec = pl.BlockSpec((D, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    sca_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    def _zero_map(nd):
+        return lambda i: (0,) * nd
+
+    def _const_spec(v, orig_shape):
+        space = pltpu.SMEM if orig_shape == () else pltpu.VMEM
+        return pl.BlockSpec(v.shape, _zero_map(v.ndim), memory_space=space)
+
+    const_specs = [_const_spec(v, m[0])
+                   for v, m in zip(const_vals, const_meta)]
+    # parameter meta is computed on example shapes; concrete leaves are
+    # packed per call (they are traced runtime values)
+    _param_meta = []
+    _param_specs = []
+    for ex in p_ex:
+        pk, shape, is_bool = _pack_const(jnp.zeros(ex.shape, ex.dtype))
+        _param_meta.append((shape, is_bool))
+        _param_specs.append(_const_spec(pk, shape))
+
+    def run(seed, q0_t, p0_t, var_t, eps, flat_p):
+        packed_p = [_pack_const(l)[0] for l in flat_p]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                seed_spec,
+                vec_spec, vec_spec, vec_spec, sca_spec,
+                *const_specs, *_param_specs,
+            ],
+            out_specs=(
+                vec_spec, sca_spec, sca_spec, sca_spec,
+                sca_spec, sca_spec, sca_spec, sca_spec, sca_spec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((D, C), dtype),       # q_new
+                jax.ShapeDtypeStruct((1, C), dtype),       # logp
+                jax.ShapeDtypeStruct((1, C), dtype),       # energy
+                jax.ShapeDtypeStruct((1, C), dtype),       # energy_change
+                jax.ShapeDtypeStruct((1, C), jnp.int32),   # tree_depth
+                jax.ShapeDtypeStruct((1, C), jnp.int32),   # tree_size
+                jax.ShapeDtypeStruct((1, C), dtype),       # accept_sum
+                jax.ShapeDtypeStruct((1, C), dtype),       # max_de
+                jax.ShapeDtypeStruct((1, C), jnp.int32),   # diverging
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max(int(max_treedepth) - 1, 1) + 1,
+                            4 * D + 3, block), dtype),
+            ],
+            interpret=interpret,
+        )(jnp.reshape(seed, (1, 1)).astype(jnp.int32),
+          q0_t, p0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
+          *const_vals, *packed_p)
+        names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
+                 'tree_size', 'accept_sum', 'max_de', 'diverging')
+        return dict(zip(names, outs))
+
+    return run
+
+
+def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_b,
+                                   max_treedepth, max_change,
+                                   interpret=False, block=None,
+                                   params=None, lpg_pb=None):
+    """Drop-in twin of ``nuts.nuts_transition_batched`` on the megakernel.
+
+    Same (key, q0 (C, D), diag metric, step_size, batched logp_and_grad)
+    interface and the same ``NutsStats``; the in-tree randomness comes from
+    the counter-based kernel RNG seeded from ``key``
+    (distribution-identical, not bitwise-equal to the XLA path). For
+    densities with dynamic parameters pass ``lpg_pb(params, x)`` plus
+    ``params`` instead of ``lpg_b`` — the leaves ride as kernel inputs so
+    surrogate refits never rebuild the kernel.
+    """
+    if not isinstance(metric, DiagMetricState):
+        raise ValueError('the Pallas NUTS path supports the diagonal '
+                         'metric only.')
+    C, D = q0.shape
+    dtype = q0.dtype
+    key, k_mom, k_seed = jax.random.split(key, 3)
+    p0 = sample_momentum_b(metric, k_mom, (C, D), dtype)
+    var = metric.var
+    var_t = (var.T if var.ndim == 2
+             else jnp.broadcast_to(var[:, None], (D, C))).astype(dtype)
+    seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    if lpg_pb is None:
+        lpg_pb = lambda p, x: lpg_b(x)
+        params = ()
+    run = make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change,
+                           dtype, block=block, interpret=interpret)
+    o = run(seed, q0.T, p0.T, var_t, step_size,
+            jax.tree.leaves(params))
+    n_prop = jnp.maximum(o['tree_size'][0], 1).astype(dtype)
+    stats = NutsStats(
+        logp=o['logp'][0], energy=o['energy'][0],
+        tree_depth=o['tree_depth'][0], tree_size=o['tree_size'][0],
+        mean_tree_accept=o['accept_sum'][0] / n_prop,
+        energy_change=o['energy_change'][0],
+        max_energy_change=o['max_de'][0],
+        diverging=o['diverging'][0].astype(bool))
+    return o['q'].T, stats

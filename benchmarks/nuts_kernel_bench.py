@@ -45,11 +45,17 @@ def make_density(D=32, Q=0.01):
     const = float(np.sum(np.log(upper - lower)))
     A = jnp.asarray(special_ortho_group.rvs(D, random_state=0),
                     dtype=jnp.float32)
+    # even-pair mask formulation of the banana terms: identical math to the
+    # z[::2]/z[1::2] strided form, but strided slices become GATHERS under
+    # vmap, which the Pallas megakernel cannot lower — roll+mask stays pure
+    # elementwise and is equally good XLA
+    even = jnp.asarray((np.arange(D) % 2) == 0, jnp.float32)
 
     def logp(x):
         z = x @ A.T
-        return (-jnp.sum((z[::2] ** 2 - z[1::2]) ** 2 / Q
-                         + (z[::2] - 1) ** 2) - const)
+        zn = jnp.roll(z, -1, axis=-1)   # pairs (z_even, z_odd) aligned
+        t = (z * z - zn) ** 2 / Q + (z - 1.0) ** 2
+        return -jnp.sum(t * even) - const
 
     return bf.DensityLite(logp=logp, input_size=D, input_scales=bound,
                           hard_bounds=True)
@@ -125,6 +131,33 @@ def main():
     us_per_lf_eq = wall / mean_leapfrogs * 1e6
     ratio = us_per_lf_eq / floor_us
 
+    # ---- Pallas whole-transition megakernel on the same frozen config ----
+    from bayesfast_tpu.samplers.nuts_pallas import (
+        nuts_transition_batched_pallas)
+
+    @jax.jit
+    def run_pl(key, q):
+        def body(carry, _):
+            key, q = carry
+            key, sub = jax.random.split(key)
+            q, st = nuts_transition_batched_pallas(
+                sub, q, metric, step, lpg_b, 10, 1000.)
+            return (key, q), (st.tree_size, st.tree_depth, st.diverging)
+        (_, q), (sizes, depths, div) = jax.lax.scan(
+            body, (key, q), None, length=n_iter)
+        return q, sizes, depths, div
+
+    q_p, sizes_p, depths_p, div_p = run_pl(key, q_eq)
+    sync(q_p)  # compile
+    t0 = time.time()
+    q_p, sizes_p, depths_p, div_p = run_pl(key, q_eq)
+    sync(q_p)
+    wall_p = time.time() - t0
+    mean_lf_p = float(jnp.sum(jnp.mean(sizes_p.astype(jnp.float32),
+                                       axis=1)))
+    us_per_lf_p = wall_p / mean_lf_p * 1e6
+    ratio_p = us_per_lf_p / floor_us
+
     # speed-of-light estimates for the floor: each leapfrog reads/writes the
     # state pytree (~8 (D, C) f32 arrays touched) and runs the (C, D) x
     # (D, D) rotation matmul twice (value + grad)
@@ -138,11 +171,20 @@ def main():
         'floor_us_per_leapfrog': round(floor_us, 2),
         'kernel_us_per_leapfrog_eq': round(us_per_lf_eq, 2),
         'overhead_ratio': round(ratio, 2),
+        'pallas_us_per_leapfrog_eq': round(us_per_lf_p, 2),
+        'pallas_overhead_ratio': round(ratio_p, 2),
+        'pallas_speedup_vs_xla': round(us_per_lf_eq / us_per_lf_p, 2),
         'mean_tree_depth': round(float(jnp.mean(depths.astype(
             jnp.float32))), 2),
         'mean_tree_size': round(float(jnp.mean(sizes.astype(
             jnp.float32))), 1),
+        'pallas_mean_tree_depth': round(float(jnp.mean(depths_p.astype(
+            jnp.float32))), 2),
+        'pallas_mean_tree_size': round(float(jnp.mean(sizes_p.astype(
+            jnp.float32))), 1),
         'diverging_frac': round(float(jnp.mean(div.astype(
+            jnp.float32))), 4),
+        'pallas_diverging_frac': round(float(jnp.mean(div_p.astype(
             jnp.float32))), 4),
         'floor_hbm_gb_s': round(hbm_gbs, 1),
         'floor_matmul_tflops': round(tflops, 3),
