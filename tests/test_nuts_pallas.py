@@ -51,7 +51,8 @@ def test_pallas_transition_invariants(_f32):
     key = jax.random.PRNGKey(1)
     q0 = jax.random.normal(key, (C, D), jnp.float32)
     q, st = nuts_transition_batched_pallas(
-        key, q0, metric, 0.4, lpg_b, 8, 1000.0, interpret=True)
+        key, q0, metric, 0.4, jax.value_and_grad(logp), 8, 1000.0,
+        interpret=True)
     assert q.shape == (C, D) and np.all(np.isfinite(np.asarray(q)))
     depth = np.asarray(st.tree_depth)
     size = np.asarray(st.tree_size)
@@ -78,7 +79,8 @@ def test_pallas_matches_xla_statistics(_f32):
     q0 = jax.random.normal(jax.random.PRNGKey(2), (C, D), jnp.float32)
 
     t_pl = jax.jit(lambda k, q: nuts_transition_batched_pallas(
-        k, q, metric, 0.5, lpg_b, 8, 1000.0, interpret=True))
+        k, q, metric, 0.5, jax.value_and_grad(logp), 8, 1000.0,
+        interpret=True))
     t_xla = jax.jit(lambda k, q: nuts_transition_batched(
         k, q, metric, jnp.float32(0.5), lpg_b, 8, 1000.0))
 
