@@ -27,6 +27,22 @@ from ..samplers.sample_trace import (NTrace, HTrace, TNTrace, THTrace,
 from ..samplers.step_size import init_step_size, check_acceptance
 from ..utils.sobol import multivariate_normal
 from ..utils.random import spawn_generator
+
+
+def _host_global(x):
+    """Bring a device array to host as its GLOBAL value.
+
+    On a multi-process (DCN) mesh the jitted driver's outputs are sharded
+    across processes and not fully addressable; ``np.asarray`` would
+    raise. Every process gathers the full array (an allgather over DCN),
+    so the host-side trace/bookkeeping code is process-count agnostic —
+    the multi-host analog of the reference's driver-side result gather
+    (``bayesfast/core/sample.py:185-214``).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 from ..parallel.mesh import shard_chains
 from .density import Density, DensityLite
 
@@ -513,10 +529,10 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             trace._driver_cache = ((id(density), algo, 'xla'), driver)
             carry, (samples, (stats, extras)) = driver.run(
                 carry, warmup_flags, params)
-        samples = np.asarray(samples)  # (n_step, n_chain, dim[+1])
+        samples = _host_global(samples)  # (n_step, n_chain, dim[+1])
         if tempered:
             samples = samples[..., 1:]  # strip the tempering coordinate
-        stats_np = {k: np.asarray(v).T for k, v in
+        stats_np = {k: _host_global(v).T for k, v in
                     {**stats._asdict(), **extras}.items()}
         all_samples.append(np.swapaxes(samples, 0, 1))
         all_stats.append(stats_np)
@@ -537,7 +553,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     stats_arrays = {k: np.concatenate([s[k] for s in all_stats], axis=1)
                     for k in all_stats[0]}
     trace._append_results(samples, stats_arrays)
-    trace._carry = jax.tree.map(np.asarray, carry)
+    trace._carry = jax.tree.map(_host_global, carry)
 
     # back-transform to original space (``sample.py:175-177``)
     trace._samples_original = np.asarray(density.to_original(trace._samples))

@@ -131,13 +131,11 @@ class ChainDriver:
             if (self._nuts_kernel == 'pallas'
                     and isinstance(metric, DiagMetricState)):
                 from .nuts_pallas import nuts_transition_batched_pallas
-                lpg_pb = lambda p, xb: jax.vmap(
-                    lambda x: self._logp_and_grad(p, x))(xb)
                 q_new, stats = nuts_transition_batched_pallas(
                     k_core, q, metric, eps, None,
                     self._max_treedepth, self._max_change,
                     interpret=jax.default_backend() == 'cpu',
-                    params=params, lpg_pb=lpg_pb)
+                    params=params, lpg_pb=self._logp_and_grad)
             else:
                 q_new, stats = nuts_transition_batched(
                     k_core, q, metric, eps, lpg_b,

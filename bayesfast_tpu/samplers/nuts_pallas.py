@@ -81,23 +81,36 @@ def _uniforms(seed, it, salt, shape):
     return fl - 1.0
 
 
-def _trailing_ones(k, max_bits):
-    """Trailing 1-bits of scalar ``k`` = binary-counter merges after leaf
-    ``k``. Written as a tiny scalar fori (population_count of (x & -x) - 1
-    does not lower on the scalar core)."""
+@functools.lru_cache(maxsize=None)
+def _schedule_table(max_treedepth):
+    """Precomputed per-iteration tree schedule.
 
-    def body(i, acc):
-        cont, cnt = acc
-        bit = jax.lax.shift_right_logical(k, i) & 1
-        cont = cont & (bit == 1)
-        return cont, cnt + jnp.where(cont, 1, 0)
+    The binary-counter schedule (which subtree a leaf belongs to, how many
+    merges follow it, where its frame pushes) is a pure function of the
+    global leaf index — no data dependence — so it is tabulated host-side
+    and read back as cheap SMEM scalar loads. Computing it in-kernel (a
+    scalar fori for the trailing-ones count plus shift/compare chains)
+    serializes the scalar core against the vector pipeline every
+    iteration.
 
-    _, cnt = jax.lax.fori_loop(0, max_bits, body,
-                               (jnp.bool_(True), jnp.int32(0)))
-    return cnt
+    Rows: [pending, sub_done, w_idx, depth_s] for every global leaf index
+    of a full tree (sum over doublings of 2^d leaves).
+    """
+    n_lvl = max(int(max_treedepth) - 1, 1)
+    rows = []
+    for depth_s in range(int(max_treedepth)):
+        for k in range(2 ** depth_s):
+            x, pending = k, 0
+            while x & 1:
+                pending += 1
+                x >>= 1
+            sub_done = int(k + 1 == 2 ** depth_s)
+            w_idx = n_lvl if sub_done else pending
+            rows.append((pending, sub_done, w_idx, depth_s))
+    return np.asarray(rows, np.int32).T.copy()  # (4, total_leaves)
 
 
-def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
+def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
                        qo_ref, logp_ref, en_ref, de_ref, depth_ref,
                        size_ref, asum_ref, mde_ref, div_ref, stack_ref,
                        *, lpg_t, D, Cb, max_treedepth, max_change, dtype):
@@ -201,8 +214,6 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
         jnp.concatenate([q0, e0, logp0], axis=0),   # prop (P, Cb)
         p0,                       # p_sum
         zero_s,                   # log_size
-        jnp.int32(0),             # k (scalar leaf counter)
-        jnp.int32(0),             # depth_s (scalar subtree depth)
         zero_i,                   # depth
         # per-lane flags carried as int32 — Mosaic cannot round-trip i1
         # vectors through the loop carry (i8 memory -> i1 truncation)
@@ -220,14 +231,14 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
     # on them), so the scratch stack is zeroed up front
     stack_ref[...] = jnp.zeros((n_lvl + 1, TOT, Cb), dtype)
     step_size = eps_ref[:]
-    eps0 = jnp.where(init[9] != 0, step_size, -step_size)
-    init = init[:10] + (eps0,) + init[11:]
+    eps0 = jnp.where(init[7] != 0, step_size, -step_size)
+    init = init[:8] + (eps0,) + init[9:]
 
     def cond(c):
-        return jnp.any(c[15] == 0)
+        return jnp.any(c[13] == 0)
 
     def body(c):
-        (cur, left, right, prop, p_sum, log_size, k, depth_s,
+        (cur, left, right, prop, p_sum, log_size,
          depth, go_right_i, eps, accept_sum, n_prop, max_de, diverging_i,
          done_i, it) = c
         go_right = go_right_i != 0
@@ -258,7 +269,10 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
         cur = sel_state(active & ~div, new_state, cur)
         diverging = diverging | div
 
-        pending = _trailing_ones(k, max_treedepth)
+        # data-independent tree schedule, tabulated host-side (SMEM loads)
+        pending = sched_ref[0, it]
+        sub_done = sched_ref[1, it] == 1
+        w_idx = sched_ref[2, it]
 
         # ---- binary-counter merges: unconditional first merge against the
         # live leaf (stale frames are finite, results discarded by masks),
@@ -290,10 +304,6 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
         turning_sub = turning_sub_i != 0
 
         abort = div | turning_sub
-        k = k + 1
-        n_leaf = jax.lax.shift_left(jnp.int32(1), depth_s)
-        sub_done = k == n_leaf
-        w_idx = jnp.where(sub_done, n_lvl, pending)
         stack_ref[w_idx] = inc
 
         # ---- subtree completion: main-tree doubling bookkeeping, masked
@@ -355,10 +365,7 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
         next_end = sel_state(gr_new, right, left)
         cur = sel_state(start_next, next_end, cur)
 
-        k = jnp.where(sub_done, 0, k)
-        depth_s = jnp.where(sub_done, depth_s + 1, depth_s)
-
-        return (cur, left, right, prop, p_sum, log_size, k, depth_s,
+        return (cur, left, right, prop, p_sum, log_size,
                 depth, go_right_i, eps, accept_sum, n_prop,
                 max_de, diverging.astype(jnp.int32),
                 done.astype(jnp.int32), it + 1)
@@ -369,11 +376,11 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref,
     en_ref[:] = prop[D:D + 1]
     logp_ref[:] = prop[D + 1:D + 2]
     de_ref[:] = prop[D:D + 1] - e0
-    depth_ref[:] = out[8]
-    size_ref[:] = out[12]
-    asum_ref[:] = out[11]
-    mde_ref[:] = out[13]
-    div_ref[:] = out[14].astype(jnp.int32)
+    depth_ref[:] = out[6]
+    size_ref[:] = out[10]
+    asum_ref[:] = out[9]
+    mde_ref[:] = out[11]
+    div_ref[:] = out[12].astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -420,8 +427,10 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                      block=None, interpret=False):
     """Build the jittable whole-transition kernel.
 
-    ``lpg_pb(params, x)`` maps a dynamic-parameter pytree plus (n, D)
-    positions to ((n,), (n, D)) and must trace into Mosaic. The function is
+    ``lpg_pb(params, x)`` maps a dynamic-parameter pytree plus ONE (D,)
+    position to (scalar logp, (D,) grad) and must trace into Mosaic; it is
+    vmapped over axis 1 so the kernel-resident jaxpr is natively
+    lane-minor (no transposes around the density). The function is
     traced ONCE to a closed jaxpr: its captured constants (rotation
     matrices, bound masks...) and the flattened ``params`` leaves
     (surrogate coefficients — runtime values, so refits never rebuild the
@@ -443,18 +452,23 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
 
     def flatfn(*args):
         p = jax.tree.unflatten(params_tree, list(args[:n_params]))
-        return lpg_pb(p, args[n_params])
+        # LANE-MINOR vmap: batch the per-point density over axis 1 so the
+        # traced jaxpr operates on (D, block) directly — a batch-major
+        # trace would force (D,C)<->(C,D) transposes (cross-lane shuffles,
+        # the dominant in-kernel cost when profiled) around every logp
+        return jax.vmap(lambda x: lpg_pb(p, x),
+                        in_axes=1, out_axes=(0, 1))(args[n_params])
 
     cj = jax.make_jaxpr(flatfn)(
-        *p_ex, jax.ShapeDtypeStruct((block, D), dtype))
+        *p_ex, jax.ShapeDtypeStruct((D, block), dtype))
     packed = [_pack_const(c) for c in cj.consts]
     const_vals = [p[0] for p in packed]
     const_meta = [(p[1], p[2]) for p in packed]
     n_consts = len(const_vals)
 
     def kernel(*refs):
-        const_refs = refs[5:5 + n_consts]
-        param_refs = refs[5 + n_consts:5 + n_consts + n_params]
+        const_refs = refs[6:6 + n_consts]
+        param_refs = refs[6 + n_consts:6 + n_consts + n_params]
         cvals = [_unpack_const(r, s, b)
                  for r, (s, b) in zip(const_refs, const_meta)]
 
@@ -462,12 +476,12 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
             pvals = [_unpack_const(r, s, b)
                      for r, (s, b) in zip(param_refs, _param_meta)]
             logp, grad = jax.core.eval_jaxpr(
-                cj.jaxpr, cvals, *pvals, q_t.T)
-            return logp[None, :], grad.T
+                cj.jaxpr, cvals, *pvals, q_t)
+            return logp[None, :], grad
 
-        rest = refs[5 + n_consts + n_params:]
+        rest = refs[6 + n_consts + n_params:]
         _nuts_block_kernel(
-            refs[0], refs[1], refs[2], refs[3], refs[4], *rest,
+            refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], *rest,
             lpg_t=lpg_t, D=D, Cb=block, max_treedepth=int(max_treedepth),
             max_change=float(max_change), dtype=dtype)
 
@@ -495,6 +509,10 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
         _param_meta.append((shape, is_bool))
         _param_specs.append(_const_spec(pk, shape))
 
+    sched = _schedule_table(int(max_treedepth))
+    sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+
     def run(seed, q0_t, p0_t, var_t, eps, flat_p):
         packed_p = [_pack_const(l)[0] for l in flat_p]
         outs = pl.pallas_call(
@@ -502,7 +520,7 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
             grid=grid,
             in_specs=[
                 seed_spec,
-                vec_spec, vec_spec, vec_spec, sca_spec,
+                vec_spec, vec_spec, vec_spec, sca_spec, sched_spec,
                 *const_specs, *_param_specs,
             ],
             out_specs=(
@@ -527,7 +545,7 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
             interpret=interpret,
         )(jnp.reshape(seed, (1, 1)).astype(jnp.int32),
           q0_t, p0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
-          *const_vals, *packed_p)
+          jnp.asarray(sched), *const_vals, *packed_p)
         names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
                  'tree_size', 'accept_sum', 'max_de', 'diverging')
         return dict(zip(names, outs))
@@ -535,19 +553,20 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
     return run
 
 
-def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_b,
+def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_1,
                                    max_treedepth, max_change,
                                    interpret=False, block=None,
                                    params=None, lpg_pb=None):
     """Drop-in twin of ``nuts.nuts_transition_batched`` on the megakernel.
 
-    Same (key, q0 (C, D), diag metric, step_size, batched logp_and_grad)
-    interface and the same ``NutsStats``; the in-tree randomness comes from
-    the counter-based kernel RNG seeded from ``key``
-    (distribution-identical, not bitwise-equal to the XLA path). For
-    densities with dynamic parameters pass ``lpg_pb(params, x)`` plus
-    ``params`` instead of ``lpg_b`` — the leaves ride as kernel inputs so
-    surrogate refits never rebuild the kernel.
+    Same (key, q0 (C, D), diag metric, step_size) interface and the same
+    ``NutsStats``, but takes the PER-POINT ``lpg_1(x (D,)) -> (logp,
+    grad)`` (e.g. ``jax.value_and_grad(logp)``) — the kernel vmaps it
+    lane-minor itself. The in-tree randomness comes from the counter-based
+    kernel RNG seeded from ``key`` (distribution-identical, not
+    bitwise-equal to the XLA path). For densities with dynamic parameters
+    pass ``lpg_pb(params, x)`` plus ``params`` instead — the leaves ride
+    as kernel inputs so surrogate refits never rebuild the kernel.
     """
     if not isinstance(metric, DiagMetricState):
         raise ValueError('the Pallas NUTS path supports the diagonal '
@@ -562,7 +581,7 @@ def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_b,
     seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     if lpg_pb is None:
-        lpg_pb = lambda p, x: lpg_b(x)
+        lpg_pb = lambda p, x: lpg_1(x)
         params = ()
     run = make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change,
                            dtype, block=block, interpret=interpret)

@@ -141,7 +141,7 @@ def main():
             key, q = carry
             key, sub = jax.random.split(key)
             q, st = nuts_transition_batched_pallas(
-                sub, q, metric, step, lpg_b, 10, 1000.)
+                sub, q, metric, step, lambda x: lpg((), x), 10, 1000.)
             return (key, q), (st.tree_size, st.tree_depth, st.diverging)
         (_, q), (sizes, depths, div) = jax.lax.scan(
             body, (key, q), None, length=n_iter)
