@@ -161,15 +161,31 @@ class GBS(_ProposalSized):
     draws and the held-out half."""
 
     def _estimate(self, logp, x_p, logp_p, n_q):
+        import time as _time
+        prof = {}
         n_half = x_p.shape[0] // 2
+        t0 = _time.time()
         self.sit.fit(data=x_p[:n_half])
+        prof['sit_fit_s'] = round(_time.time() - t0, 2)
+        t0 = _time.time()
         x_q = self.sit.sample(n_q)[0]
+        prof['flow_sample_s'] = round(_time.time() - t0, 2)
 
+        t0 = _time.time()
         logp_p = _split_or_recompute_logp_p(logp, x_p, logp_p, n_half)
         logp_q = _batched_logp(logp, x_q)
+        prof['logp_batches_s'] = round(_time.time() - t0, 2)
+        t0 = _time.time()
         logq_p = self.sit.logq(x_p[n_half:])
         logq_q = self.sit.logq(x_q)
-        return bridge(logp_p, logp_q, logq_p, logq_q)
+        prof['flow_logq_s'] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+        out = bridge(logp_p, logp_q, logq_p, logq_q)
+        prof['bridge_s'] = round(_time.time() - t0, 2)
+        # per-phase wall profile of the last run, for perf triage
+        # (VERDICT r3 item 7: which phase dominates the GBS wall)
+        self.last_profile = prof
+        return out
 
 
 class GIS(_ProposalSized):

@@ -274,101 +274,126 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
         sub_done = sched_ref[1, it] == 1
         w_idx = sched_ref[2, it]
 
-        # ---- binary-counter merges: unconditional first merge against the
-        # live leaf (stale frames are finite, results discarded by masks),
-        # deeper merges in a rarely-entered scalar-bounded loop ----
+        # ---- binary-counter merges, branched on the SCALAR schedule: the
+        # false branch of a Mosaic cond is a real jump (unlike XLA:TPU
+        # conds, which materialize pass-through copies), so iterations
+        # with no pending merge (half of all leaves) skip the merge math
+        # entirely ----
         leaf_vec = leaf_frame(nq, npm, ne, nlp, d_energy)
-        t1 = stack_ref[0]
-        merged, mturn = merge_frames(u0, t1, leaf_vec, jnp.int32(1))
         ok_merge = active & ~div
-        did_first = pending > 0
-        inc = jnp.where(did_first, jnp.where(ok_merge, merged, t1), leaf_vec)
-        turned = did_first & ok_merge & mturn
 
-        def deep_cond(s):
-            return s[0] < pending
+        def first_merge(_):
+            t1 = stack_ref[0]
+            merged, mturn = merge_frames(u0, t1, leaf_vec, jnp.int32(1))
+            inc = jnp.where(ok_merge, merged, t1)
+            turned = ok_merge & mturn
 
-        def deep_body(s):
-            m, inc, turned_i = s
-            turned = turned_i != 0
-            um = _uniforms(seed, it * jnp.int32(16) + m, 3, (1, Cb))
-            t1 = stack_ref[m]
-            merged, mturn = merge_frames(um, t1, inc, m + 1)
-            ok = active & ~div & ~turned
-            inc = jnp.where(ok, merged, inc)
-            return m + 1, inc, (turned | (ok & mturn)).astype(jnp.int32)
+            def deep_cond(s):
+                return s[0] < pending
 
-        _, inc, turning_sub_i = jax.lax.while_loop(
-            deep_cond, deep_body,
-            (jnp.int32(1), inc, turned.astype(jnp.int32)))
+            def deep_body(s):
+                m, inc, turned_i = s
+                turned = turned_i != 0
+                um = _uniforms(seed, it * jnp.int32(16) + m, 3, (1, Cb))
+                t1 = stack_ref[m]
+                merged, mturn = merge_frames(um, t1, inc, m + 1)
+                ok = ok_merge & ~turned
+                inc = jnp.where(ok, merged, inc)
+                return m + 1, inc, (turned | (ok & mturn)).astype(jnp.int32)
+
+            _, inc, turned_i = jax.lax.while_loop(
+                deep_cond, deep_body,
+                (jnp.int32(1), inc, turned.astype(jnp.int32)))
+            return inc, turned_i
+
+        inc, turning_sub_i = jax.lax.cond(
+            pending > 0, first_merge,
+            lambda _: (leaf_vec, zero_i), None)
         turning_sub = turning_sub_i != 0
 
         abort = div | turning_sub
         stack_ref[w_idx] = inc
+        # depth counts completed doublings plus the aborted extension
+        # (data-derived 0/1 operands: see the n_prop layout note above)
+        depth = depth + jnp.where(active & (abort | sub_done),
+                                  zero_i + 1, zero_i)
+        done = done | (active & abort)
 
-        # ---- subtree completion: main-tree doubling bookkeeping, masked
-        # selects gated by the scalar sub_done ----
-        ok = sub_done & active & ~abort
-        sub_ls = inc[3 * D:3 * D + 1]
-        take = ok & (jnp.log(u1) < sub_ls - log_size)
-        prop = jnp.where(take, inc[3 * D + 1:], prop)
-        log_size = jnp.where(ok, jnp.logaddexp(log_size, sub_ls), log_size)
-        sub_p_sum = inc[2 * D:3 * D]
-        p_sum_new = p_sum + sub_p_sum
+        # ---- subtree completion: runs only when the schedule says the
+        # subtree is whole (once per doubling) ----
+        def completion(args):
+            (cur, left, right, prop, p_sum, log_size, go_right_i, eps,
+             done_i2) = args
+            go_right = go_right_i != 0
+            done = done_i2 != 0
+            ok = active & ~abort
+            sub_ls = inc[3 * D:3 * D + 1]
+            take = ok & (jnp.log(u1) < sub_ls - log_size)
+            prop = jnp.where(take, inc[3 * D + 1:], prop)
+            log_size = jnp.where(ok, jnp.logaddexp(log_size, sub_ls),
+                                 log_size)
+            sub_p_sum = inc[2 * D:3 * D]
+            p_sum_new = p_sum + sub_p_sum
 
-        new_left = sel_state(go_right, left, cur)
-        new_right = sel_state(go_right, cur, right)
+            new_left = sel_state(go_right, left, cur)
+            new_right = sel_state(go_right, cur, right)
 
-        # main-tree U-turn checks (halves in spatial order)
-        inc_left_p = inc[0:D]
-        inc_left_v = velocity(inc_left_p)
-        left_v = velocity(left[1])
-        right_v = velocity(right[1])
-        cur_v = velocity(cur[1])
-        lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
-        rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
-        lm_begin_v = jnp.where(go_right, left_v, cur_v)
-        lm_end_p = jnp.where(go_right, right[1], inc_left_p)
-        lm_end_v = jnp.where(go_right, right_v, inc_left_v)
-        rm_begin_p = jnp.where(go_right, inc_left_p, left[1])
-        rm_begin_v = jnp.where(go_right, inc_left_v, left_v)
-        rm_end_v = jnp.where(go_right, cur_v, right_v)
-        p_sum1 = lm_psum + rm_begin_p
-        p_sum2 = lm_end_p + rm_psum
-        nl_v = velocity(new_left[1])
-        nr_v = velocity(new_right[1])
-        t0 = jnp.sum(p_sum_new * nl_v, axis=0, keepdims=True)
-        t1d = jnp.sum(p_sum_new * nr_v, axis=0, keepdims=True)
-        t2d = jnp.sum(p_sum1 * lm_begin_v, axis=0, keepdims=True)
-        t3d = jnp.sum(p_sum1 * rm_begin_v, axis=0, keepdims=True)
-        t4d = jnp.sum(p_sum2 * lm_end_v, axis=0, keepdims=True)
-        t5d = jnp.sum(p_sum2 * rm_end_v, axis=0, keepdims=True)
-        turning_full = ((t0 <= 0) | (t1d <= 0) | (t2d <= 0) |
-                        (t3d <= 0) | (t4d <= 0) | (t5d <= 0))
+            # main-tree U-turn checks (halves in spatial order)
+            inc_left_p = inc[0:D]
+            inc_left_v = velocity(inc_left_p)
+            left_v = velocity(left[1])
+            right_v = velocity(right[1])
+            cur_v = velocity(cur[1])
+            lm_psum = jnp.where(go_right, p_sum, sub_p_sum)
+            rm_psum = jnp.where(go_right, sub_p_sum, p_sum)
+            lm_begin_v = jnp.where(go_right, left_v, cur_v)
+            lm_end_p = jnp.where(go_right, right[1], inc_left_p)
+            lm_end_v = jnp.where(go_right, right_v, inc_left_v)
+            rm_begin_p = jnp.where(go_right, inc_left_p, left[1])
+            rm_begin_v = jnp.where(go_right, inc_left_v, left_v)
+            rm_end_v = jnp.where(go_right, cur_v, right_v)
+            p_sum1 = lm_psum + rm_begin_p
+            p_sum2 = lm_end_p + rm_psum
+            nl_v = velocity(new_left[1])
+            nr_v = velocity(new_right[1])
+            t0 = jnp.sum(p_sum_new * nl_v, axis=0, keepdims=True)
+            t1d = jnp.sum(p_sum_new * nr_v, axis=0, keepdims=True)
+            t2d = jnp.sum(p_sum1 * lm_begin_v, axis=0, keepdims=True)
+            t3d = jnp.sum(p_sum1 * rm_begin_v, axis=0, keepdims=True)
+            t4d = jnp.sum(p_sum2 * lm_end_v, axis=0, keepdims=True)
+            t5d = jnp.sum(p_sum2 * rm_end_v, axis=0, keepdims=True)
+            turning_full = ((t0 <= 0) | (t1d <= 0) | (t2d <= 0) |
+                            (t3d <= 0) | (t4d <= 0) | (t5d <= 0))
 
-        left = sel_state(ok, new_left, left)
-        right = sel_state(ok, new_right, right)
-        p_sum = jnp.where(ok, p_sum_new, p_sum)
-        depth = jnp.where(active & (sub_done | abort), depth + 1, depth)
-        finished = (active & abort) | (ok & (turning_full |
-                                             (depth >= max_treedepth)))
-        done = done | finished
+            left = sel_state(ok, new_left, left)
+            right = sel_state(ok, new_right, right)
+            p_sum = jnp.where(ok, p_sum_new, p_sum)
+            finished = ok & (turning_full | (depth >= max_treedepth))
+            done = done | finished
 
-        start_next = ok & ~finished
-        gr_new = u2 < 0.5
-        # selects over BOOL values trip Mosaic's i1/i8 legalization — keep
-        # the flag in int32 through the update, bools only as predicates
-        go_right_i = jnp.where(start_next, gr_new.astype(jnp.int32),
-                               go_right.astype(jnp.int32))
-        eps = jnp.where(start_next,
-                        jnp.where(gr_new, step_size, -step_size), eps)
-        next_end = sel_state(gr_new, right, left)
-        cur = sel_state(start_next, next_end, cur)
+            start_next = ok & ~finished
+            gr_new = u2 < 0.5
+            # selects over BOOL values trip Mosaic's i1/i8 legalization —
+            # keep flags int32 through updates, bools only as predicates
+            go_right_i = jnp.where(start_next, gr_new.astype(jnp.int32),
+                                   go_right_i)
+            eps = jnp.where(start_next,
+                            jnp.where(gr_new, step_size, -step_size), eps)
+            next_end = sel_state(gr_new, right, left)
+            cur = sel_state(start_next, next_end, cur)
+            return (cur, left, right, prop, p_sum, log_size, go_right_i,
+                    eps, done.astype(jnp.int32))
+
+        (cur, left, right, prop, p_sum, log_size, go_right_i, eps,
+         done_i3) = jax.lax.cond(
+            sub_done, completion, lambda a: a,
+            (cur, left, right, prop, p_sum, log_size,
+             go_right.astype(jnp.int32), eps, done.astype(jnp.int32)))
 
         return (cur, left, right, prop, p_sum, log_size,
                 depth, go_right_i, eps, accept_sum, n_prop,
                 max_de, diverging.astype(jnp.int32),
-                done.astype(jnp.int32), it + 1)
+                done_i3, it + 1)
 
     out = jax.lax.while_loop(cond, body, init)
     prop = out[3]

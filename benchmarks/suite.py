@@ -124,8 +124,10 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup):
     r = float(np.max(rhat(s)))
 
     t0 = time.time()
-    logz, err = bf.GBS(f_call=0.05, n_q_max=100_000)(tt, den.logp)
+    gbs = bf.GBS(f_call=0.05, n_q_max=100_000)
+    logz, err = gbs(tt, den.logp)
     dt_ev = time.time() - t0
+    gbs_profile = getattr(gbs, 'last_profile', None)
 
     rec = {
         'config': name, 'dtype': 'float64', 'n_chain': n_chain,
@@ -141,6 +143,7 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup):
         'published': [pub_logz, pub_err],
         'sigma_off_fiducial': round(abs(logz - fiducial) / err, 2),
         'gbs_wall_s': round(dt_ev, 1),
+        'gbs_profile': gbs_profile,
         'sample_wall_s': round(dt_warm + dt_post, 1),
         'n_call': int(tt.n_call),
     }
