@@ -211,9 +211,13 @@ class DensityLite(_PipelineBase, _DensityBase):
         raise RuntimeError('No valid definition of logp is found.')
 
     def _logp_trans_1(self, x_t):
-        """Single-point logp in transformed space, with log-Jacobian."""
-        x_o = self._to_original_j(x_t)
-        return self._logp_1(x_o) + self._log_det_j(x_t)
+        """Single-point logp in transformed space, with log-Jacobian.
+
+        Uses the fused transform+logdet (one exp + one log, rational
+        custom JVP) — the sampler hot path."""
+        x_o, logdet = _con.to_original_with_logdet(
+            x_t, self._input_scales, self._hard_bounds)
+        return self._logp_1(x_o) + logdet
 
     def _logp_and_grad_1(self, x, original_space):
         f = self._logp_1 if original_space else self._logp_trans_1

@@ -22,6 +22,7 @@ logp as divergence/rejection, which is the behaviorally equivalent outcome).
 ``hard_bounds`` is a bool, or an ``(n,)``/``(n, 2)`` bool array.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,7 @@ __all__ = [
     'normalize_scales', 'normalize_bounds',
     'from_original', 'from_original_grad', 'from_original_grad2',
     'to_original', 'to_original_grad', 'to_original_grad2',
+    'to_original_with_logdet',
 ]
 
 
@@ -147,3 +149,71 @@ def to_original_grad2(x, scales, bounds):
     g = jnp.where(has_lo & ~has_hi, ex, g)
     g = jnp.where(~has_lo & has_hi, -ex, g)
     return g * width
+
+
+@jax.custom_jvp
+def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
+    """(to_original(x), sum log|d to_original/dx|) with ONE exp + ONE log.
+
+    The straightforward composition ``logp(to_original(x)) +
+    sum(log|to_original_grad(x)|)`` costs ~6 exp under value_and_grad
+    (forward sigmoid, the grad's sigmoid, and their autodiff replays) —
+    measured as 75% of the whole in-kernel leapfrog cost in the Pallas
+    NUTS megakernel, where Mosaic's transcendentals are much slower than
+    XLA's. Here the sigmoid/exponential is evaluated once, the
+    per-element derivative magnitudes combine into a single log, and the
+    custom JVP below keeps the tangent map purely rational.
+    """
+    em = jnp.exp(-x)
+    ep = 1.0 / em
+    s = 1.0 / (1.0 + em)
+    t = m_lohi * s + m_lo * ep + m_hi * (1.0 - ep) \
+        + (1.0 - m_lohi - m_lo - m_hi) * x
+    x_o = lo + t * width
+    # |g| = width * [s(1-s)]^lohi * ep^(lo|hi) * 1^none  (width > 0)
+    gmag = (m_lohi * (s * (1.0 - s)) + (m_lo + m_hi) * ep
+            + (1.0 - m_lohi - m_lo - m_hi)) * jnp.abs(width)
+    logdet = jnp.sum(jnp.log(gmag), axis=-1)
+    return x_o, logdet
+
+
+@_fused_to_original.defjvp
+def _fused_to_original_jvp(primals, tangents):
+    x, lo, width, m_lohi, m_lo, m_hi = primals
+    dx = tangents[0]
+    em = jnp.exp(-x)
+    ep = 1.0 / em
+    s = 1.0 / (1.0 + em)
+    t = m_lohi * s + m_lo * ep + m_hi * (1.0 - ep) \
+        + (1.0 - m_lohi - m_lo - m_hi) * x
+    x_o = lo + t * width
+    gmag = (m_lohi * (s * (1.0 - s)) + (m_lo + m_hi) * ep
+            + (1.0 - m_lohi - m_lo - m_hi)) * jnp.abs(width)
+    logdet = jnp.sum(jnp.log(gmag), axis=-1)
+    # dt/dx per branch: lohi s(1-s); lo ep; hi -ep; none 1
+    g = (m_lohi * (s * (1.0 - s)) + m_lo * ep - m_hi * ep
+         + (1.0 - m_lohi - m_lo - m_hi)) * width
+    # dlog|g|/dx per branch: lohi (1-2s); lo 1; hi 1; none 0
+    h = m_lohi * (1.0 - 2.0 * s) + m_lo + m_hi
+    dx_o = g * dx
+    dlogdet = jnp.sum(h * dx, axis=-1)
+    return (x_o, logdet), (dx_o, dlogdet)
+
+
+def to_original_with_logdet(x, scales, bounds):
+    """Fused ``(to_original(x), log|det d to_original/dx|)``.
+
+    Matches ``to_original`` + ``sum(log(abs(to_original_grad)))`` exactly,
+    with minimal transcendental count and a rational custom JVP — the
+    sampling-space density hot path (reference semantics
+    ``bayesfast/core/density.py:747-750``).
+    """
+    dtype = get_dtype()
+    if scales is None:
+        x = jnp.asarray(x, dtype)
+        return x, jnp.zeros(x.shape[:-1], dtype)
+    x, lo, width, has_lo, has_hi = _prep(x, scales, bounds)
+    m_lohi = (has_lo & has_hi).astype(dtype)
+    m_lo = (has_lo & ~has_hi).astype(dtype)
+    m_hi = (~has_lo & has_hi).astype(dtype)
+    return _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi)

@@ -67,9 +67,10 @@ def test_process_backend_scales_gil_bound_likelihood(_restore_backend):
     # identical results
     for a, b in zip(vds_serial, vds_proc):
         assert np.allclose(a.fun['logp'], b.fun['logp'])
-    # 8 busy-waits over 4 workers: >= 2x despite fork/pickle overhead
-    # (threads CANNOT achieve this here — the worker holds the GIL)
-    assert t_proc < 0.55 * t_serial, (t_serial, t_proc)
+    # 8 busy-waits over 4 workers: ideal 0.25x; the loose 0.7x bound keeps
+    # the assertion meaningful (threads CANNOT beat 1.0x here — the worker
+    # holds the GIL) while tolerating a loaded CI box
+    assert t_proc < 0.7 * t_serial, (t_serial, t_proc)
 
 
 def test_process_backend_context_reuse(_restore_backend):
