@@ -43,6 +43,31 @@ def _host_global(x):
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+def _fetch_chunk(samples, stats_dict):
+    """Bring one scan chunk to host in a SINGLE device->host transfer.
+
+    Each fetch pays a fixed latency (~150 ms through a tunneled TPU, and
+    a real dispatch round-trip even on local hosts); fetching samples
+    plus ~12 stats arrays separately made the transfer overhead dominate
+    the sampler wall. Everything is packed into one array on device
+    (stats cast to the sample dtype — exact: int32 stats stay below 2^24)
+    and split back on host.
+    """
+    keys = list(stats_dict)
+    dtype = samples.dtype
+    arrs = [samples] + [stats_dict[k].astype(dtype)[..., None]
+                        for k in keys]
+    packed = _host_global(jnp.concatenate(arrs, axis=-1))
+    d = samples.shape[-1]
+    stats_np = {k: np.ascontiguousarray(packed[..., d + i].T)
+                for i, k in enumerate(keys)}
+    for k in keys:
+        v = stats_dict[k]
+        if v.dtype != dtype:
+            stats_np[k] = stats_np[k].astype(v.dtype)
+    return np.ascontiguousarray(packed[..., :d]), stats_np
 from ..parallel.mesh import shard_chains
 from .density import Density, DensityLite
 
@@ -529,11 +554,10 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             trace._driver_cache = ((id(density), algo, 'xla'), driver)
             carry, (samples, (stats, extras)) = driver.run(
                 carry, warmup_flags, params)
-        samples = _host_global(samples)  # (n_step, n_chain, dim[+1])
+        samples, stats_np = _fetch_chunk(samples,
+                                         {**stats._asdict(), **extras})
         if tempered:
             samples = samples[..., 1:]  # strip the tempering coordinate
-        stats_np = {k: _host_global(v).T for k, v in
-                    {**stats._asdict(), **extras}.items()}
         all_samples.append(np.swapaxes(samples, 0, 1))
         all_stats.append(stats_np)
         done += n_step
@@ -553,7 +577,11 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     stats_arrays = {k: np.concatenate([s[k] for s in all_stats], axis=1)
                     for k in all_stats[0]}
     trace._append_results(samples, stats_arrays)
-    trace._carry = jax.tree.map(_host_global, carry)
+    # the carry STAYS on device: fetching its ~20 leaves costs a fixed
+    # per-transfer latency each (~150 ms over a tunneled TPU). Resume
+    # consumes it directly; checkpoint save gathers lazily (see
+    # utils/checkpoint._HostPickler).
+    trace._carry = carry
 
     # back-transform to original space (``sample.py:175-177``)
     trace._samples_original = np.asarray(density.to_original(trace._samples))

@@ -33,6 +33,9 @@ class _HostPickler(pickle.Pickler):
 
     def reducer_override(self, obj):
         if isinstance(obj, jax.Array):
+            if not obj.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                obj = multihost_utils.process_allgather(obj, tiled=True)
             return np.asarray, (np.asarray(obj),)
         return NotImplemented
 

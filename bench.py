@@ -122,6 +122,9 @@ def main():
     n_chain = int(os.environ.get('BENCH_N_CHAIN', 1024))
     n_warmup = int(os.environ.get('BENCH_N_WARMUP', 400))
     n_post = int(os.environ.get('BENCH_N_POST', 300))
+    # the Pallas whole-transition megakernel with XLA fallback; override
+    # with BENCH_NUTS_KERNEL=xla to bench the flat XLA tree loop
+    bf.config.set_nuts_kernel(os.environ.get('BENCH_NUTS_KERNEL', 'auto'))
 
     D, Q = 32, 0.01
     lower = np.full(D, -15.)
@@ -131,11 +134,15 @@ def main():
     from scipy.stats import special_ortho_group
     A = jnp.asarray(special_ortho_group.rvs(D, random_state=0),
                     dtype=jnp.float32)
+    # even-pair mask formulation: same math as z[::2]/z[1::2], but strided
+    # slices become gathers under vmap, which Mosaic cannot lower
+    even = jnp.asarray((np.arange(D) % 2) == 0, jnp.float32)
 
     def logp(x):
-        x = x @ A.T
-        return (-jnp.sum((x[::2] ** 2 - x[1::2]) ** 2 / Q
-                         + (x[::2] - 1) ** 2) - const)
+        z = x @ A.T
+        zn = jnp.roll(z, -1, axis=-1)
+        t = (z * z - zn) ** 2 / Q + (z - 1.0) ** 2
+        return -jnp.sum(t * even) - const
 
     bf.utils.set_generator(32)
     den = bf.DensityLite(logp=logp, input_size=D, input_scales=bound,
@@ -150,12 +157,23 @@ def main():
     # chunked device calls: the remote-TPU tunnel kills minutes-long
     # single XLA programs, and chunking costs <1% at these shapes
     t0 = time.time()
-    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False, n_update=50)
+    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False, n_update=100)
     dt_warm = time.time() - t0
 
-    t0 = time.time()
-    tt = bf.sample(den, tt, n_run=n_post, verbose=False, n_update=50)
-    dt_post = time.time() - t0
+    # post phase in 3 timed segments: the segment-rate spread is the
+    # run-to-run stability bar for the headline numbers (tunnel variance
+    # was the suspected source of the r3 bench-vs-RESULTS discrepancy)
+    seg_rates = []
+    dt_post = 0.0
+    seg = n_post // 3
+    for i in range(3):
+        n_seg = seg if i < 2 else n_post - 2 * seg
+        t0 = time.time()
+        tt = bf.sample(den, tt, n_run=n_seg, verbose=False,
+                       n_update=n_seg)
+        dt = time.time() - t0
+        seg_rates.append(n_chain * n_seg / dt)
+        dt_post += dt
 
     warm_iters_per_sec = n_chain * (n_warmup - 2) / dt_warm
     baseline = 88.0  # 8 chains x ~11 warmup it/s/chain on the Cori node
@@ -217,6 +235,9 @@ def main():
             'tau_iterations': round(tau, 2),
             'ess_estimate_reliable_n_ge_50tau': ess_reliable,
             'post_iters_per_sec': round(n_chain * n_post / dt_post, 1),
+            'post_iters_per_sec_segments': [round(r, 1)
+                                            for r in seg_rates],
+            'nuts_kernel': bf.config.get_nuts_kernel(),
             'mean_tree_depth_post': round(depth_post, 2),
             'mean_tree_size_post': round(size_post, 1),
             'leapfrogs_per_sec': round(leapfrogs_per_sec, 0),
