@@ -583,11 +583,29 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     # utils/checkpoint._HostPickler).
     trace._carry = carry
 
-    # back-transform to original space (``sample.py:175-177``)
-    trace._samples_original = np.asarray(density.to_original(trace._samples))
-    trace._logp_original = np.asarray(density.to_original_density(
-        trace.logp.reshape(-1), x_trans=trace._samples.reshape(
-            (-1, trace._samples.shape[-1])))).reshape(trace.logp.shape)
+    # back-transform to original space (``sample.py:175-177``) —
+    # INCREMENTALLY: only this call's new samples run through the
+    # transform; re-transforming the whole history made every
+    # continuation call's tail grow with the run length (and each eager
+    # transform is a dispatch+fetch round trip, expensive through a
+    # tunneled TPU)
+    prev_s = getattr(trace, '_samples_original', None)
+    prev_l = getattr(trace, '_logp_original', None)
+    new_s = np.asarray(density.to_original(samples))
+    new_logp = stats_arrays['logp']
+    new_l = np.asarray(density.to_original_density(
+        new_logp.reshape(-1), x_trans=samples.reshape(
+            (-1, samples.shape[-1])))).reshape(new_logp.shape)
+    if (prev_s is not None and
+            prev_s.shape[1] + samples.shape[1] == trace._samples.shape[1]):
+        trace._samples_original = np.concatenate([prev_s, new_s], axis=1)
+        trace._logp_original = np.concatenate([prev_l, new_l], axis=1)
+    else:
+        trace._samples_original = np.asarray(
+            density.to_original(trace._samples))
+        trace._logp_original = np.asarray(density.to_original_density(
+            trace.logp.reshape(-1), x_trans=trace._samples.reshape(
+                (-1, trace._samples.shape[-1])))).reshape(trace.logp.shape)
 
     if verbose:
         t_f = time.time() - t_start

@@ -166,7 +166,7 @@ def main():
     flops = 2 * 2 * 2 * C * D * D  # fwd+bwd matmul, 2 flops/MAC
     tflops = flops / (floor_us * 1e-6) / 1e12
 
-    print(json.dumps({
+    rec = dict({
         'n_chain': C, 'dim': D, 'n_iter': n_iter,
         'floor_us_per_leapfrog': round(floor_us, 2),
         'kernel_us_per_leapfrog_eq': round(us_per_lf_eq, 2),
@@ -188,7 +188,13 @@ def main():
             jnp.float32))), 4),
         'floor_hbm_gb_s': round(hbm_gbs, 1),
         'floor_matmul_tflops': round(tflops, 3),
-    }))
+    })
+    rec = {'metric': 'nuts_kernel_overhead', **rec}
+    print(json.dumps(rec))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results.jsonl')
+    with open(path, 'a') as f:
+        f.write(json.dumps(rec) + '\n')
 
 
 if __name__ == '__main__':
