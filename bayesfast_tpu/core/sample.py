@@ -443,15 +443,22 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     if n_run == 0:
         return TraceTuple(trace)
 
-    # ------- pre-run finite check (``base_hmc.py:42-46``) -------
-    if sampler == 'Ensemble':  # gradient-free sampler: check logp only
-        logp_0 = density.logp(x_0, original_space=False)
-        if not np.isfinite(logp_0).all():
-            raise ValueError('failed to get finite logp at x_0.')
-    else:
-        logp_0, grad_0 = density.logp_and_grad(x_0, original_space=False)
-        if not (np.isfinite(logp_0).all() and np.isfinite(grad_0).all()):
-            raise ValueError('failed to get finite logp and/or grad at x_0.')
+    # ------- pre-run finite check (``base_hmc.py:42-46``) — only for a
+    # fresh start; continuation calls resume from a carry whose state was
+    # produced by finite transitions, and the check is a full device round
+    # trip per call -------
+    if getattr(trace, '_carry', None) is None:
+        if sampler == 'Ensemble':  # gradient-free sampler: logp only
+            logp_0 = density.logp(x_0, original_space=False)
+            if not np.isfinite(logp_0).all():
+                raise ValueError('failed to get finite logp at x_0.')
+        else:
+            logp_0, grad_0 = density.logp_and_grad(x_0,
+                                                   original_space=False)
+            if not (np.isfinite(logp_0).all()
+                    and np.isfinite(grad_0).all()):
+                raise ValueError('failed to get finite logp and/or grad '
+                                 'at x_0.')
 
     # ------- driver + carry -------
     if sampler == 'Ensemble':
@@ -638,8 +645,11 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
 
     if not np.all(stats_arrays['warmup'][:, -1:]):
         # post-warmup acceptance check per chain (``step_size.py:53-68``);
-        # chees keeps one shared step state, so check it once
-        ss = trace._carry.step
+        # chees keeps one shared step state, so check it once. The carry is
+        # device-resident — bring the step state to host in ONE transfer
+        # per leaf first, or the per-chain a[i] indexing below becomes
+        # n_chain separate device round trips
+        ss = jax.tree.map(np.asarray, trace._carry.step)
         if getattr(ss, 'log_step', None) is None:  # CheesAdaptState
             msg = check_acceptance(ss.step, trace.target_accept, None)
             if msg is not None:
