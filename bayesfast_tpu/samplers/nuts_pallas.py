@@ -408,17 +408,23 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
     div_ref[:] = out[12].astype(jnp.int32)
 
 
+def _lane_bytes(D):
+    """Measured scoped-VMEM footprint per lane at D=32 is ~43 KB (stack +
+    double-buffered while carry + density temporaries) ~= 1350 bytes x D."""
+    return 1350 * D
+
+
 @functools.lru_cache(maxsize=None)
 def _block_for(C, D):
     """Lane-block width: multiples of 128 lanes, capped by a VMEM budget.
 
-    The compiler's measured scoped-stack footprint at D=32 is ~43 KB/lane
-    (stack + double-buffered while carry + density temporaries), i.e.
-    ~1350 bytes x D per lane; budget 12 MB of the 16 MB scoped limit.
+    Wider blocks amortize per-op fixed costs; the scoped limit is raised
+    via CompilerParams up to ~60 MB when the estimate needs it (v5e
+    accepts raised limits well beyond the 16 MB default).
     """
-    budget = 12 * 2 ** 20
+    budget = 56 * 2 ** 20
     for b in (512, 256, 128):
-        if C % b == 0 and 1350 * D * b <= budget:
+        if C % b == 0 and _lane_bytes(D) * b <= budget:
             return b
     # small/odd chain counts: single block
     return C
@@ -567,6 +573,9 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                 pltpu.VMEM((max(int(max_treedepth) - 1, 1) + 1,
                             4 * D + 3, block), dtype),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(16 * 2 ** 20,
+                                     int(_lane_bytes(D) * block * 1.25))),
             interpret=interpret,
         )(jnp.reshape(seed, (1, 1)).astype(jnp.int32),
           q0_t, p0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),

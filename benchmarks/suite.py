@@ -19,6 +19,8 @@ Usage:
 """
 
 import argparse
+import sys
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 import json
 import os
 import time
