@@ -64,3 +64,45 @@ def test_mixed_bounds_vector():
     assert np.isclose(y[1], np.log(0.75))
     assert np.isclose(y[2], np.log(0.25))
     assert np.isclose(y[3], np.log(0.25 / 0.75))
+
+
+def test_fused_to_original_with_logdet():
+    """The fused transform (one exp + one log + rational custom JVP — the
+    sampler hot path) must match the composed to_original +
+    sum(log|to_original_grad|) in value AND gradient on every bound
+    combination."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    D = 8
+    scales = con.normalize_scales(
+        np.stack([np.full(D, -2.0), np.full(D, 3.0)]).T)
+    bounds = np.array((BOUND_CASES * 2)[:D], bool)
+    x = rng.normal(size=(5, D))
+
+    xo_ref = np.asarray(con.to_original(x, scales, bounds))
+    ld_ref = np.sum(np.log(np.abs(np.asarray(
+        con.to_original_grad(x, scales, bounds)))), axis=-1)
+    xo, ld = con.to_original_with_logdet(x, scales, bounds)
+    assert np.allclose(np.asarray(xo), xo_ref, atol=1e-12)
+    assert np.allclose(np.asarray(ld), ld_ref, atol=1e-12)
+
+    def f_fused(u):
+        xo, ld = con.to_original_with_logdet(u, scales, bounds)
+        return jnp.sum(jnp.sin(xo)) + jnp.sum(ld)
+
+    def f_composed(u):
+        xo = con.to_original(u, scales, bounds)
+        g = con.to_original_grad(u, scales, bounds)
+        return (jnp.sum(jnp.sin(xo))
+                + jnp.sum(jnp.log(jnp.abs(g))))
+
+    g_new = jax.grad(f_fused)(jnp.asarray(x[0]))
+    g_old = jax.grad(f_composed)(jnp.asarray(x[0]))
+    assert np.allclose(np.asarray(g_new), np.asarray(g_old), atol=1e-11)
+
+    # unbounded fall-through
+    xo, ld = con.to_original_with_logdet(x, None, False)
+    assert np.allclose(np.asarray(xo), x)
+    assert np.allclose(np.asarray(ld), 0.0)
