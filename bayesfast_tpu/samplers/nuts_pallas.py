@@ -418,12 +418,13 @@ def _lane_bytes(D):
 def _block_for(C, D):
     """Lane-block width: multiples of 128 lanes, capped by a VMEM budget.
 
-    Wider blocks amortize per-op fixed costs; the scoped limit is raised
-    via CompilerParams up to ~60 MB when the estimate needs it (v5e
-    accepts raised limits well beyond the 16 MB default).
+    256 lanes measured fastest at D=32 (512 compiles under a raised
+    scoped limit — v5e accepts well beyond the 16 MB default — but gains
+    nothing; per-op costs are not lane-bound there). Wider blocks remain
+    available for shapes that need them.
     """
     budget = 56 * 2 ** 20
-    for b in (512, 256, 128):
+    for b in (256, 512, 128):
         if C % b == 0 and _lane_bytes(D) * b <= budget:
             return b
     # small/odd chain counts: single block
