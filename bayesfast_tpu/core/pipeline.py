@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import get_dtype
+from ..ops import constraint as _con
 from ..utils.collections import VariableDict, PropertyList
 from ..utils import all_isinstance
 from .module import ModuleBase, Surrogate
@@ -457,7 +458,13 @@ class Density(Pipeline, _DensityBase):
 
     def _logp_traced(self, x, params, original_space, use_surrogate):
         x = jnp.asarray(x, get_dtype())
-        x_o = x if original_space else self._to_original_j(x)
+        if original_space:
+            x_o, logdet = x, None
+        else:
+            # fused transform + log-Jacobian (one exp + one log, rational
+            # custom JVP) — the sampler hot path; see ops.constraint
+            x_o, logdet = _con.to_original_with_logdet(
+                x, self._input_scales, self._hard_bounds)
         d = self._eval_vars(x_o, params, True, use_surrogate)
         lp = jnp.reshape(d[self._density_name], (-1,))[0]
         if self._use_decay and use_surrogate:
@@ -465,8 +472,8 @@ class Density(Pipeline, _DensityBase):
             delta = x_o - mu
             beta2 = delta @ hess @ delta
             lp = lp - self._gamma * jnp.clip(beta2 - alpha_2, 0.0, jnp.inf)
-        if not original_space:
-            lp = lp + self._log_det_j(x)
+        if logdet is not None:
+            lp = lp + logdet
         return lp
 
     def device_logp_and_grad(self, original_space=False, use_surrogate=None):
