@@ -649,7 +649,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         # device-resident — bring the step state to host in ONE transfer
         # per leaf first, or the per-chain a[i] indexing below becomes
         # n_chain separate device round trips
-        ss = jax.tree.map(np.asarray, trace._carry.step)
+        ss = jax.tree.map(_host_global, trace._carry.step)
         if getattr(ss, 'log_step', None) is None:  # CheesAdaptState
             msg = check_acceptance(ss.step, trace.target_accept, None)
             if msg is not None:
