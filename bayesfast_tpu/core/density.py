@@ -63,30 +63,34 @@ class _PipelineBase:
     def original_space(self, os):
         self._original_space = bool(os)
 
-    # jnp-native transform API; accepts any leading batch shape
+    # host transform API; accepts any leading batch shape. NumPy, not jnp:
+    # these run on driver-side trace bookkeeping (whole-trace back-
+    # transforms), where un-jitted op-by-op device execution round-trips
+    # the full batch through a tunneled TPU per op (measured ~10 s per
+    # bf.sample call at (1000, 1024, 32)).
     def from_original(self, x):
-        return np.asarray(_con.from_original(x, self._input_scales,
-                                             self._hard_bounds))
-
-    def from_original_grad(self, x):
-        return np.asarray(_con.from_original_grad(x, self._input_scales,
-                                                  self._hard_bounds))
-
-    def from_original_grad2(self, x):
-        return np.asarray(_con.from_original_grad2(x, self._input_scales,
-                                                   self._hard_bounds))
-
-    def to_original(self, x):
-        return np.asarray(_con.to_original(x, self._input_scales,
-                                           self._hard_bounds))
-
-    def to_original_grad(self, x):
-        return np.asarray(_con.to_original_grad(x, self._input_scales,
+        return np.asarray(_con.np_from_original(x, self._input_scales,
                                                 self._hard_bounds))
 
+    def from_original_grad(self, x):
+        return np.asarray(_con.np_from_original_grad(x, self._input_scales,
+                                                     self._hard_bounds))
+
+    def from_original_grad2(self, x):
+        return np.asarray(_con.np_from_original_grad2(
+            x, self._input_scales, self._hard_bounds))
+
+    def to_original(self, x):
+        return np.asarray(_con.np_to_original(x, self._input_scales,
+                                              self._hard_bounds))
+
+    def to_original_grad(self, x):
+        return np.asarray(_con.np_to_original_grad(x, self._input_scales,
+                                                   self._hard_bounds))
+
     def to_original_grad2(self, x):
-        return np.asarray(_con.to_original_grad2(x, self._input_scales,
-                                                 self._hard_bounds))
+        return np.asarray(_con.np_to_original_grad2(x, self._input_scales,
+                                                    self._hard_bounds))
 
     # traced (device) versions for use inside jitted code
     def _to_original_j(self, x):

@@ -491,6 +491,16 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     use_pallas = (kernel_mode in ('pallas', 'auto') and algo == 'nuts'
                   and mesh is None)
     nuts_kernel = 'pallas' if use_pallas else 'xla'
+    # continuations/resumes keep the kernel the trace started with — the
+    # two kernels have different (distribution-identical) random streams,
+    # and checkpoint resume promises bitwise continuation even when the
+    # topology changes (e.g. a mesh run resumed unsharded)
+    pinned = getattr(trace, '_nuts_kernel_pinned', None)
+    if pinned is not None and kernel_mode == 'auto':
+        nuts_kernel = pinned
+        use_pallas = pinned == 'pallas'
+    else:
+        trace._nuts_kernel_pinned = nuts_kernel
 
     def _build_driver(nk):
         return ChainDriver(
@@ -538,6 +548,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         n_update = max(int(n_update), 1)
 
     all_samples, all_stats = [], []
+    frozen_extras = None
     t_start = time.time()
     done = 0
     while done < n_run:
@@ -548,21 +559,56 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         params = density.current_params()
         if tempered:
             params = (params, base_density.current_params())
+        # post-warmup chunks on the Pallas kernel run as ONE multi-
+        # transition kernel call (momentum refresh in-kernel): the
+        # per-transition XLA glue around single-transition dispatches
+        # measured 4.2x slower than the raw kernel at banana-32 @1024
+        from ..samplers.metrics import DiagMetricState
+        frozen = (use_pallas and not tempered
+                  and not bool(np.any(warmup_flags))
+                  and isinstance(carry.metric, DiagMetricState))
         try:
-            carry, (samples, (stats, extras)) = driver.run(
-                carry, warmup_flags, params)
-        except Exception:
+            if frozen:
+                carry, (samples, (stats, extras)) = driver.run_frozen_chunk(
+                    carry, n_step, params, i0=it0)
+            else:
+                carry, (samples, (stats, extras)) = driver.run(
+                    carry, warmup_flags, params)
+        except Exception as exc:
             # 'auto' kernel mode: densities that fail to lower into Mosaic
             # (gathers, exotic ops) fall back to the XLA tree loop
             if not (use_pallas and kernel_mode == 'auto'):
                 raise
+            warnings.warn(
+                'the Pallas NUTS megakernel failed to lower for this '
+                'density; falling back to the XLA tree kernel '
+                f'(set_nuts_kernel controls this). Cause: {exc!r:.300}',
+                RuntimeWarning)
             use_pallas = False
+            trace._nuts_kernel_pinned = 'xla'
             driver = _build_driver('xla')
             trace._driver_cache = ((id(density), algo, 'xla'), driver)
             carry, (samples, (stats, extras)) = driver.run(
                 carry, warmup_flags, params)
-        samples, stats_np = _fetch_chunk(samples,
-                                         {**stats._asdict(), **extras})
+        if extras is None:
+            # frozen chunk: step sizes are constant — fetch the per-chain
+            # values once per run (one tiny packed transfer) and
+            # reconstruct the (n_chain, n_steps) extras rows on host
+            samples, stats_np = _fetch_chunk(samples, stats._asdict())
+            if frozen_extras is None:
+                ss = _host_global(jnp.stack(
+                    [jnp.exp(carry.step.log_step),
+                     jnp.exp(carry.step.log_bar)]))
+                frozen_extras = (np.asarray(ss[0]), np.asarray(ss[1]))
+            n_c = stats_np['logp'].shape[0]
+            stats_np['step_size'] = np.broadcast_to(
+                frozen_extras[0][:, None], (n_c, n_step)).copy()
+            stats_np['step_size_bar'] = np.broadcast_to(
+                frozen_extras[1][:, None], (n_c, n_step)).copy()
+            stats_np['warmup'] = np.zeros((n_c, n_step), bool)
+        else:
+            samples, stats_np = _fetch_chunk(samples,
+                                             {**stats._asdict(), **extras})
         if tempered:
             samples = samples[..., 1:]  # strip the tempering coordinate
         all_samples.append(np.swapaxes(samples, 0, 1))

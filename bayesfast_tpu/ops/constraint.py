@@ -151,6 +151,35 @@ def to_original_grad2(x, scales, bounds):
     return g * width
 
 
+def _fused_core(x, lo, width, m_lohi, m_lo, m_hi):
+    """Shared primal math for the fused transform and its JVP.
+
+    One exp: the argument is branch-selected BEFORE the exp (``-x`` for
+    the two-sided logistic branch, ``x`` for the one-sided log branches,
+    ``0`` for unbounded dims), so an unbounded dim can never see an
+    overflowed exp — with arithmetic masking, ``exp(x)`` overflows to
+    inf at x > ~88.7 in float32 and ``0 * inf`` NaN-poisoned the whole
+    point (round-4 advisor finding). Branch combination is by
+    ``jnp.where`` select, which does not propagate inf/nan from the
+    unselected branch.
+    """
+    is_lohi = m_lohi > 0.5
+    is_lo = m_lo > 0.5
+    is_hi = m_hi > 0.5
+    one_sided = is_lo | is_hi
+    u = jnp.where(is_lohi, -x, jnp.where(one_sided, x, 0.0))
+    e = jnp.exp(u)
+    s = 1.0 / (1.0 + e)          # sigmoid(x) where is_lohi
+    t = jnp.where(is_lohi, s,
+                  jnp.where(is_lo, e,
+                            jnp.where(is_hi, 1.0 - e, x)))
+    x_o = lo + t * width
+    # |g| per branch: lohi s(1-s); lo/hi exp(x); none 1 — times |width|
+    gmag = jnp.where(is_lohi, s * (1.0 - s),
+                     jnp.where(one_sided, e, 1.0)) * jnp.abs(width)
+    return e, s, x_o, gmag, is_lohi, is_lo, is_hi, one_sided
+
+
 @jax.custom_jvp
 def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
     """(to_original(x), sum log|d to_original/dx|) with ONE exp + ONE log.
@@ -160,19 +189,12 @@ def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
     (forward sigmoid, the grad's sigmoid, and their autodiff replays) —
     measured as 75% of the whole in-kernel leapfrog cost in the Pallas
     NUTS megakernel, where Mosaic's transcendentals are much slower than
-    XLA's. Here the sigmoid/exponential is evaluated once, the
-    per-element derivative magnitudes combine into a single log, and the
-    custom JVP below keeps the tangent map purely rational.
+    XLA's. Here the exponential is evaluated once on a branch-selected
+    argument, the per-element derivative magnitudes combine into a
+    single log, and the custom JVP below keeps the tangent map purely
+    rational.
     """
-    em = jnp.exp(-x)
-    ep = 1.0 / em
-    s = 1.0 / (1.0 + em)
-    t = m_lohi * s + m_lo * ep + m_hi * (1.0 - ep) \
-        + (1.0 - m_lohi - m_lo - m_hi) * x
-    x_o = lo + t * width
-    # |g| = width * [s(1-s)]^lohi * ep^(lo|hi) * 1^none  (width > 0)
-    gmag = (m_lohi * (s * (1.0 - s)) + (m_lo + m_hi) * ep
-            + (1.0 - m_lohi - m_lo - m_hi)) * jnp.abs(width)
+    _, _, x_o, gmag, *_ = _fused_core(x, lo, width, m_lohi, m_lo, m_hi)
     logdet = jnp.sum(jnp.log(gmag), axis=-1)
     return x_o, logdet
 
@@ -181,23 +203,117 @@ def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
 def _fused_to_original_jvp(primals, tangents):
     x, lo, width, m_lohi, m_lo, m_hi = primals
     dx = tangents[0]
-    em = jnp.exp(-x)
-    ep = 1.0 / em
-    s = 1.0 / (1.0 + em)
-    t = m_lohi * s + m_lo * ep + m_hi * (1.0 - ep) \
-        + (1.0 - m_lohi - m_lo - m_hi) * x
-    x_o = lo + t * width
-    gmag = (m_lohi * (s * (1.0 - s)) + (m_lo + m_hi) * ep
-            + (1.0 - m_lohi - m_lo - m_hi)) * jnp.abs(width)
+    e, s, x_o, gmag, is_lohi, is_lo, is_hi, one_sided = _fused_core(
+        x, lo, width, m_lohi, m_lo, m_hi)
     logdet = jnp.sum(jnp.log(gmag), axis=-1)
-    # dt/dx per branch: lohi s(1-s); lo ep; hi -ep; none 1
-    g = (m_lohi * (s * (1.0 - s)) + m_lo * ep - m_hi * ep
-         + (1.0 - m_lohi - m_lo - m_hi)) * width
+    # dt/dx per branch: lohi s(1-s); lo exp(x); hi -exp(x); none 1
+    g = jnp.where(is_lohi, s * (1.0 - s),
+                  jnp.where(is_lo, e,
+                            jnp.where(is_hi, -e, 1.0))) * width
     # dlog|g|/dx per branch: lohi (1-2s); lo 1; hi 1; none 0
-    h = m_lohi * (1.0 - 2.0 * s) + m_lo + m_hi
+    h = jnp.where(is_lohi, 1.0 - 2.0 * s,
+                  jnp.where(one_sided, 1.0, 0.0))
     dx_o = g * dx
     dlogdet = jnp.sum(h * dx, axis=-1)
     return (x_o, logdet), (dx_o, dlogdet)
+
+
+# ---------------------------------------------------------------------------
+# Host (NumPy) twins of the six transforms. The device (jnp) versions above
+# execute op-by-op when handed host arrays outside jit — over a tunneled TPU
+# that round-trips the whole batch per op (measured ~10 s for a
+# (1000, 1024, 32) trace back-transform). Driver-side bookkeeping
+# (``core/sample.py`` original-space conversion, trace accessors) therefore
+# uses these NumPy implementations; the math is identical.
+
+def _np_prep(x, scales, bounds):
+    dtype = np.dtype(get_dtype())
+    x = np.asarray(x, dtype)
+    lo = np.asarray(scales[:, 0], dtype)
+    hi = np.asarray(scales[:, 1], dtype)
+    b = normalize_bounds(bounds, scales.shape[0])
+    return x, lo, hi - lo, b[:, 0], b[:, 1]
+
+
+def np_from_original(x, scales, bounds):
+    if scales is None:
+        return np.asarray(x)
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (x - lo) / width
+        y = np.where(has_lo & has_hi, np.log(t) - np.log1p(-t), t)
+        y = np.where(has_lo & ~has_hi, np.log(t), y)
+        y = np.where(~has_lo & has_hi, np.log1p(-t), y)
+    return y
+
+
+def np_from_original_grad(x, scales, bounds):
+    if scales is None:
+        return np.ones_like(np.asarray(x))
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (x - lo) / width
+        g = np.where(has_lo & has_hi, 1.0 / (t * (1.0 - t)),
+                     np.ones_like(t))
+        g = np.where(has_lo & ~has_hi, 1.0 / t, g)
+        g = np.where(~has_lo & has_hi, 1.0 / (t - 1.0), g)
+    return g / width
+
+
+def np_from_original_grad2(x, scales, bounds):
+    if scales is None:
+        return np.zeros_like(np.asarray(x))
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (x - lo) / width
+        omt = 1.0 - t
+        g = np.where(has_lo & has_hi, (2.0 * t - 1.0) / (t * t * omt * omt),
+                     np.zeros_like(t))
+        g = np.where(has_lo & ~has_hi, -1.0 / (t * t), g)
+        g = np.where(~has_lo & has_hi, 1.0 / ((t - 1.0) * omt), g)
+    return g / (width * width)
+
+
+def np_to_original(x, scales, bounds):
+    if scales is None:
+        return np.asarray(x)
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(over='ignore'):
+        t = np.where(has_lo & has_hi, 1.0 / (1.0 + np.exp(-x)), x)
+        t = np.where(has_lo & ~has_hi, np.exp(np.where(
+            has_lo & ~has_hi, x, 0.0)), t)
+        t = np.where(~has_lo & has_hi, 1.0 - np.exp(np.where(
+            ~has_lo & has_hi, x, 0.0)), t)
+    return lo + t * width
+
+
+def np_to_original_grad(x, scales, bounds):
+    if scales is None:
+        return np.ones_like(np.asarray(x))
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(over='ignore'):
+        sig = 1.0 / (1.0 + np.exp(-x))
+        one_sided = (has_lo ^ has_hi)
+        ex = np.exp(np.where(one_sided, x, 0.0))
+        g = np.where(has_lo & has_hi, sig * (1.0 - sig), np.ones_like(x))
+        g = np.where(has_lo & ~has_hi, ex, g)
+        g = np.where(~has_lo & has_hi, -ex, g)
+    return g * width
+
+
+def np_to_original_grad2(x, scales, bounds):
+    if scales is None:
+        return np.zeros_like(np.asarray(x))
+    x, lo, width, has_lo, has_hi = _np_prep(x, scales, bounds)
+    with np.errstate(over='ignore'):
+        one_sided = (has_lo ^ has_hi)
+        ex = np.exp(np.where(one_sided | (has_lo & has_hi), x, 0.0))
+        g = np.where(has_lo & has_hi,
+                     -ex * (ex - 1.0) / ((ex + 1.0) ** 3),
+                     np.zeros_like(x))
+        g = np.where(has_lo & ~has_hi, ex, g)
+        g = np.where(~has_lo & has_hi, -ex, g)
+    return g * width
 
 
 def to_original_with_logdet(x, scales, bounds):

@@ -65,6 +65,7 @@ class ChainDriver:
         self._adapt_metric = bool(adapt_metric)
         self._pooled_metric = bool(pooled_metric)
         self._compiled = None
+        self._compiled_chunks = {}
 
     def _one_chain_step(self, key, q, step_state, metric, warmup, params):
         """Per-chain transition for the fixed-trajectory algorithms
@@ -207,6 +208,65 @@ class ChainDriver:
             return jax.lax.scan(step, carry, warmup_flags)
 
         return jax.jit(scan_fn, donate_argnums=(0,))
+
+    def _build_frozen_chunk(self, n_steps):
+        from .metrics import DiagMetricState  # noqa: F401 (contract doc)
+        from .nuts_pallas import nuts_chunk_batched_pallas
+
+        def chunk_fn(carry, params, i0):
+            # the chain key does NOT advance: frozen-chunk randomness is
+            # (key, global-iteration) keyed, so any chunk partitioning —
+            # including a checkpoint resume — reproduces the same stream
+            eps = jnp.exp(carry.step.log_bar)  # frozen post-warmup size
+            q_chunk, q_last, stats = nuts_chunk_batched_pallas(
+                carry.key[0], carry.q, carry.metric, eps, n_steps,
+                self._max_treedepth, self._max_change,
+                interpret=jax.default_backend() == 'cpu',
+                params=params, lpg_pb=self._logp_and_grad, i0=i0)
+            accept = stats.mean_tree_accept          # (n_steps, C)
+            # the only live adaptation state post-warmup is the acceptance
+            # diagnostic accumulator (``step_size.update_step_size``)
+            step = carry.step._replace(
+                accept_sum=carry.step.accept_sum + jnp.sum(accept, axis=0),
+                accept_count=carry.step.accept_count + float(n_steps))
+            # step sizes are frozen here: the caller reconstructs the
+            # (n_steps, C) extras rows host-side from one tiny per-chain
+            # fetch instead of shipping three broadcast arrays per chunk
+            new_carry = ChainCarry(carry.key, q_last, step, carry.metric)
+            return new_carry, (q_chunk, (stats, None))
+
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    # transitions per kernel call: bounds the (K, D+8, block)-shaped VMEM
+    # output windows (a 200-transition call measured over the v5e scoped
+    # limit and failed to compile; 64 leaves ample headroom at D=32)
+    _CHUNK_CAP = 64
+
+    def run_frozen_chunk(self, carry, n_steps, params=(), i0=0):
+        """Post-warmup fast path: ``n_steps`` transitions in Pallas chunk
+        kernel calls (in-kernel momentum refresh, no per-transition XLA
+        glue). Only valid for algorithm='nuts' with the Pallas kernel and
+        a diagonal metric, AFTER warmup (step size and metric frozen);
+        output layout matches ``run``. Chunks larger than ``_CHUNK_CAP``
+        loop over sub-chunks (the per-call glue is one key split).
+        """
+        n_steps = int(n_steps)
+        pieces = []
+        done = 0
+        while done < n_steps:
+            k = min(self._CHUNK_CAP, n_steps - done)
+            fn = self._compiled_chunks.get(k)
+            if fn is None:
+                fn = self._compiled_chunks[k] = self._build_frozen_chunk(k)
+            carry, out = fn(carry, params, jnp.asarray(i0 + done,
+                                                       jnp.int32))
+            pieces.append(out)
+            done += k
+        if len(pieces) == 1:
+            return carry, pieces[0]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *pieces)
+        return carry, stacked
 
     def run(self, carry, warmup_flags, params=()):
         """Run ``len(warmup_flags)`` iterations; returns (carry, (samples, stats)).

@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .metrics import DiagMetricState, sample_momentum_b
 from .nuts import NutsStats
 
-__all__ = ['nuts_transition_batched_pallas', 'make_nuts_pallas']
+__all__ = ['nuts_transition_batched_pallas', 'nuts_chunk_batched_pallas',
+           'make_nuts_pallas', 'make_nuts_pallas_multi']
 
 
 def _fmix32(x):
@@ -110,22 +111,19 @@ def _schedule_table(max_treedepth):
     return np.asarray(rows, np.int32).T.copy()  # (4, total_leaves)
 
 
-def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
-                       qo_ref, logp_ref, en_ref, de_ref, depth_ref,
-                       size_ref, asum_ref, mde_ref, div_ref, stack_ref,
-                       *, lpg_t, D, Cb, max_treedepth, max_change, dtype):
-    """One chain block, one full NUTS transition. All shapes static:
-    vectors (D, Cb), per-chain scalars (1, Cb)."""
-    seed = (seed_ref[0, 0].astype(jnp.uint32)
-            + pl.program_id(0).astype(jnp.uint32)
-            * jnp.uint32(1640531527))
+def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
+                     *, velocity, lpg_t, D, Cb, max_treedepth, max_change,
+                     dtype):
+    """One full NUTS transition for one chain block, as VMEM values.
 
+    Shared by the single-transition kernel and the multi-transition chunk
+    kernel. All shapes static: vectors (D, Cb), per-chain scalars (1, Cb).
+    Returns ``(q_prop, energy, logp, d_energy, depth, tree_size,
+    accept_sum, max_de, diverging)``.
+    """
     n_lvl = max(int(max_treedepth) - 1, 1)
     P = D + 2                      # proposal rows: q, energy, logp
     TOT = 3 * D + 1 + P            # stack frame rows
-
-    def velocity(p):
-        return var_ref[:] * p
 
     def energy_of(p, v, logp2):
         return 0.5 * jnp.sum(p * v, axis=0, keepdims=True) - logp2
@@ -136,8 +134,6 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
         return t, (t - x) - y
 
     # ---- start state ----
-    q0 = q0_ref[:]
-    p0 = p0_ref[:]
     logp0, grad0 = lpg_t(q0)
     v0 = velocity(p0)
     e0 = energy_of(p0, v0, logp0)
@@ -146,7 +142,7 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
     # init, and the body's (non-replicated) updates then fail to relayout
     # back into the carry ("invalid relayout ... replicated in destination")
     zero_v = q0 * 0
-    zero_s = eps_ref[:] * 0
+    zero_s = step_size * 0
     zero_i = zero_s.astype(jnp.int32)
 
     def leapfrog(eps, q, p, grad, cq, cp):
@@ -228,9 +224,9 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
         jnp.int32(0),             # it (global iteration counter for RNG)
     )
     # stale frames must hold finite momenta (masked merges still compute
-    # on them), so the scratch stack is zeroed up front
+    # on them), so the scratch stack is zeroed up front (per transition:
+    # frames left by a previous transition could hold -inf log-sizes)
     stack_ref[...] = jnp.zeros((n_lvl + 1, TOT, Cb), dtype)
-    step_size = eps_ref[:]
     eps0 = jnp.where(init[7] != 0, step_size, -step_size)
     init = init[:8] + (eps0,) + init[9:]
 
@@ -294,7 +290,11 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
             def deep_body(s):
                 m, inc, turned_i = s
                 turned = turned_i != 0
-                um = _uniforms(seed, it * jnp.int32(16) + m, 3, (1, Cb))
+                # counter stride tied to max_treedepth so (it, m) pairs
+                # never collide for user-raised tree depths (> 16 would
+                # have reused uniforms across merges with a fixed 16)
+                um = _uniforms(
+                    seed, it * jnp.int32(max_treedepth + 1) + m, 3, (1, Cb))
                 t1 = stack_ref[m]
                 merged, mturn = merge_frames(um, t1, inc, m + 1)
                 ok = ok_merge & ~turned
@@ -397,15 +397,119 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
 
     out = jax.lax.while_loop(cond, body, init)
     prop = out[3]
-    qo_ref[:] = prop[0:D]
-    en_ref[:] = prop[D:D + 1]
-    logp_ref[:] = prop[D + 1:D + 2]
-    de_ref[:] = prop[D:D + 1] - e0
-    depth_ref[:] = out[6]
-    size_ref[:] = out[10]
-    asum_ref[:] = out[9]
-    mde_ref[:] = out[11]
-    div_ref[:] = out[12].astype(jnp.int32)
+    return (prop[0:D],               # q_prop
+            prop[D:D + 1],           # energy
+            prop[D + 1:D + 2],       # logp
+            prop[D:D + 1] - e0,      # energy_change
+            out[6],                  # tree_depth
+            out[10],                 # tree_size
+            out[9],                  # accept_sum
+            out[11],                 # max_de
+            out[12].astype(jnp.int32))  # diverging
+
+
+def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
+                       qo_ref, logp_ref, en_ref, de_ref, depth_ref,
+                       size_ref, asum_ref, mde_ref, div_ref, stack_ref,
+                       *, lpg_t, D, Cb, max_treedepth, max_change, dtype):
+    """One chain block, one full NUTS transition."""
+    seed = (seed_ref[0, 0].astype(jnp.uint32)
+            + pl.program_id(0).astype(jnp.uint32)
+            * jnp.uint32(1640531527))
+
+    def velocity(p):
+        return var_ref[:] * p
+
+    (q_prop, en, logp, de, depth, size, asum, mde, div) = _transition_core(
+        seed, q0_ref[:], p0_ref[:], eps_ref[:], sched_ref, stack_ref,
+        velocity=velocity, lpg_t=lpg_t, D=D, Cb=Cb,
+        max_treedepth=max_treedepth, max_change=max_change, dtype=dtype)
+    qo_ref[:] = q_prop
+    en_ref[:] = en
+    logp_ref[:] = logp
+    de_ref[:] = de
+    depth_ref[:] = depth
+    size_ref[:] = size
+    asum_ref[:] = asum
+    mde_ref[:] = mde
+    div_ref[:] = div
+
+
+def _gauss_from_uniforms(seed, counter, salt, shape):
+    """Box-Muller standard normals from the counter-based uniform stream.
+
+    Two uniforms per normal (one pair per element — simple and exact;
+    the draw happens once per transition, amortized over ~hundreds of
+    leapfrogs). ``1 - u`` keeps the log argument in (0, 1].
+    """
+    u1 = _uniforms(seed, counter, salt, shape)
+    u2 = _uniforms(seed, counter, salt + 1, shape)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _nuts_multi_kernel(seed_ref, q0_ref, var_ref, eps_ref, sched_ref,
+                       qo_ref, logp_ref, en_ref, de_ref, depth_ref,
+                       size_ref, asum_ref, mde_ref, div_ref, qf_ref,
+                       stack_ref, *, lpg_t, K, D, Cb, max_treedepth,
+                       max_change, dtype):
+    """One chain block, ``K`` consecutive NUTS transitions in ONE kernel.
+
+    The post-warmup fast path: step size and metric are frozen after
+    warmup (dual averaging and Welford adaptation mask to no-ops,
+    ``step_size.py``/``metrics.py``), so an entire driver chunk collapses
+    into a single ``pallas_call`` — momentum refreshes run in-kernel
+    (Box-Muller over the counter RNG), and each transition's sample and
+    stats are written to output row ``t`` (a scalar index — transitions
+    stay block-synchronous). This removes the per-transition XLA glue
+    that dominated the driver wall (measured 17.7k vs 74.8k raw-kernel
+    chain-samples/s at banana-32 f32 @1024 on one v5e chip).
+
+    Outputs are (K, D, block) / (K, 1, block) blocks plus the final
+    position ``qf`` consumed as the next chunk's start.
+    """
+    seed = (seed_ref[0, 0].astype(jnp.uint32)
+            + pl.program_id(0).astype(jnp.uint32)
+            * jnp.uint32(1640531527))
+    i0 = seed_ref[0, 1].astype(jnp.uint32)   # global iteration offset
+
+    def velocity(p):
+        return var_ref[:] * p
+
+    step_size = eps_ref[:]
+    sqrt_var = jnp.sqrt(var_ref[:])    # p ~ N(0, var^-1): p = z / sqrt(var)
+
+    def body(t, q):
+        # an independent counter-stream per transition, keyed by the
+        # GLOBAL iteration index (i0 + t): the stream then depends only on
+        # the chain key and the transition's position in the run, so a
+        # checkpoint resumed with different chunk boundaries reproduces
+        # the uninterrupted run bitwise. In-tree counters (leaf its, merge
+        # products) stay well below 2^24, so folding the index through the
+        # full-avalanche finalizer gives non-overlapping streams.
+        seed_t = seed ^ _fmix32(i0 + t.astype(jnp.uint32)
+                                + jnp.uint32(0x9E3779B9))
+        z = _gauss_from_uniforms(seed_t, jnp.int32(-9), 16, (D, Cb))
+        p0 = z / sqrt_var
+        (q_prop, en, logp, de, depth, size, asum, mde, div) = \
+            _transition_core(
+                seed_t, q, p0, step_size, sched_ref, stack_ref,
+                velocity=velocity, lpg_t=lpg_t, D=D, Cb=Cb,
+                max_treedepth=max_treedepth, max_change=max_change,
+                dtype=dtype)
+        qo_ref[t] = q_prop
+        en_ref[t] = en
+        logp_ref[t] = logp
+        de_ref[t] = de
+        depth_ref[t] = depth
+        size_ref[t] = size
+        asum_ref[t] = asum
+        mde_ref[t] = mde
+        div_ref[t] = div
+        return q_prop
+
+    q_fin = jax.lax.fori_loop(0, K, body, q0_ref[:])
+    qf_ref[:] = q_fin
 
 
 def _lane_bytes(D):
@@ -455,6 +559,41 @@ def _unpack_const(ref, shape, is_bool):
     return (x != 0) if is_bool else x
 
 
+def _trace_density(lpg_pb, params, D, block, dtype):
+    """Trace the per-point density to a closed jaxpr over lane-minor
+    (D, block) positions; pack its closure constants and dynamic-parameter
+    example leaves into Pallas-friendly inputs. Shared by the single- and
+    multi-transition kernel builders."""
+    flat_params, params_tree = jax.tree.flatten(params)
+    p_ex = [jax.ShapeDtypeStruct(jnp.shape(l), jnp.result_type(l))
+            for l in flat_params]
+    n_params = len(flat_params)
+
+    def flatfn(*args):
+        p = jax.tree.unflatten(params_tree, list(args[:n_params]))
+        # LANE-MINOR vmap: batch the per-point density over axis 1 so the
+        # traced jaxpr operates on (D, block) directly — a batch-major
+        # trace would force (D,C)<->(C,D) transposes (cross-lane shuffles,
+        # the dominant in-kernel cost when profiled) around every logp
+        return jax.vmap(lambda x: lpg_pb(p, x),
+                        in_axes=1, out_axes=(0, 1))(args[n_params])
+
+    cj = jax.make_jaxpr(flatfn)(
+        *p_ex, jax.ShapeDtypeStruct((D, block), dtype))
+    packed = [_pack_const(c) for c in cj.consts]
+    const_vals = [p[0] for p in packed]
+    const_meta = [(p[1], p[2]) for p in packed]
+
+    # parameter meta is computed on example shapes; concrete leaves are
+    # packed per call (they are traced runtime values)
+    param_meta, param_packed = [], []
+    for ex in p_ex:
+        pk, shape, is_bool = _pack_const(jnp.zeros(ex.shape, ex.dtype))
+        param_meta.append((shape, is_bool))
+        param_packed.append(pk)
+    return cj, const_vals, const_meta, param_meta, param_packed, n_params
+
+
 def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                      block=None, interpret=False):
     """Build the jittable whole-transition kernel.
@@ -477,25 +616,8 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
         raise ValueError(f'n_chain {C} not divisible by block {block}.')
     grid = (C // block,)
 
-    flat_params, params_tree = jax.tree.flatten(params)
-    p_ex = [jax.ShapeDtypeStruct(jnp.shape(l), jnp.result_type(l))
-            for l in flat_params]
-    n_params = len(flat_params)
-
-    def flatfn(*args):
-        p = jax.tree.unflatten(params_tree, list(args[:n_params]))
-        # LANE-MINOR vmap: batch the per-point density over axis 1 so the
-        # traced jaxpr operates on (D, block) directly — a batch-major
-        # trace would force (D,C)<->(C,D) transposes (cross-lane shuffles,
-        # the dominant in-kernel cost when profiled) around every logp
-        return jax.vmap(lambda x: lpg_pb(p, x),
-                        in_axes=1, out_axes=(0, 1))(args[n_params])
-
-    cj = jax.make_jaxpr(flatfn)(
-        *p_ex, jax.ShapeDtypeStruct((D, block), dtype))
-    packed = [_pack_const(c) for c in cj.consts]
-    const_vals = [p[0] for p in packed]
-    const_meta = [(p[1], p[2]) for p in packed]
+    (cj, const_vals, const_meta, _param_meta, _param_packed,
+     n_params) = _trace_density(lpg_pb, params, D, block, dtype)
     n_consts = len(const_vals)
 
     def kernel(*refs):
@@ -532,14 +654,8 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
 
     const_specs = [_const_spec(v, m[0])
                    for v, m in zip(const_vals, const_meta)]
-    # parameter meta is computed on example shapes; concrete leaves are
-    # packed per call (they are traced runtime values)
-    _param_meta = []
-    _param_specs = []
-    for ex in p_ex:
-        pk, shape, is_bool = _pack_const(jnp.zeros(ex.shape, ex.dtype))
-        _param_meta.append((shape, is_bool))
-        _param_specs.append(_const_spec(pk, shape))
+    _param_specs = [_const_spec(pk, m[0])
+                    for pk, m in zip(_param_packed, _param_meta)]
 
     sched = _schedule_table(int(max_treedepth))
     sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
@@ -586,6 +702,169 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
         return dict(zip(names, outs))
 
     return run
+
+
+def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
+                           max_change, dtype, block=None, interpret=False):
+    """Build the jittable K-transition chunk kernel (post-warmup fast path).
+
+    Same density-tracing contract as ``make_nuts_pallas``; returns
+    ``fn(seed, q0_t, var_t, eps, flat_params) -> dict`` whose entries are
+    stacked over the leading transition axis: ``q`` (K, D, C), scalars
+    (K, 1, C), plus ``q_final`` (D, C) — the next chunk's start.
+    """
+    if block is None:
+        block = _block_for(C, D)
+    if C % block:
+        raise ValueError(f'n_chain {C} not divisible by block {block}.')
+    grid = (C // block,)
+    K = int(K)
+
+    (cj, const_vals, const_meta, _param_meta, _param_packed,
+     n_params) = _trace_density(lpg_pb, params, D, block, dtype)
+    n_consts = len(const_vals)
+
+    def kernel(*refs):
+        const_refs = refs[5:5 + n_consts]
+        param_refs = refs[5 + n_consts:5 + n_consts + n_params]
+        cvals = [_unpack_const(r, s, b)
+                 for r, (s, b) in zip(const_refs, const_meta)]
+
+        def lpg_t(q_t):
+            pvals = [_unpack_const(r, s, b)
+                     for r, (s, b) in zip(param_refs, _param_meta)]
+            logp, grad = jax.core.eval_jaxpr(
+                cj.jaxpr, cvals, *pvals, q_t)
+            return logp[None, :], grad
+
+        rest = refs[5 + n_consts + n_params:]
+        _nuts_multi_kernel(
+            refs[0], refs[1], refs[2], refs[3], refs[4], *rest,
+            lpg_t=lpg_t, K=K, D=D, Cb=block,
+            max_treedepth=int(max_treedepth),
+            max_change=float(max_change), dtype=dtype)
+
+    vec_spec = pl.BlockSpec((D, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    sca_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    kvec_spec = pl.BlockSpec((K, D, block), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    ksca_spec = pl.BlockSpec((K, 1, block), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    def _zero_map(nd):
+        return lambda i: (0,) * nd
+
+    def _const_spec(v, orig_shape):
+        space = pltpu.SMEM if orig_shape == () else pltpu.VMEM
+        return pl.BlockSpec(v.shape, _zero_map(v.ndim), memory_space=space)
+
+    const_specs = [_const_spec(v, m[0])
+                   for v, m in zip(const_vals, const_meta)]
+    _param_specs = [_const_spec(pk, m[0])
+                    for pk, m in zip(_param_packed, _param_meta)]
+
+    sched = _schedule_table(int(max_treedepth))
+    sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+
+    def run(seed, i0, q0_t, var_t, eps, flat_p):
+        packed_p = [_pack_const(l)[0] for l in flat_p]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                seed_spec, vec_spec, vec_spec, sca_spec, sched_spec,
+                *const_specs, *_param_specs,
+            ],
+            out_specs=(
+                kvec_spec, ksca_spec, ksca_spec, ksca_spec,
+                ksca_spec, ksca_spec, ksca_spec, ksca_spec, ksca_spec,
+                vec_spec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((K, D, C), dtype),      # q per trans
+                jax.ShapeDtypeStruct((K, 1, C), dtype),      # logp
+                jax.ShapeDtypeStruct((K, 1, C), dtype),      # energy
+                jax.ShapeDtypeStruct((K, 1, C), dtype),      # energy_change
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # tree_depth
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # tree_size
+                jax.ShapeDtypeStruct((K, 1, C), dtype),      # accept_sum
+                jax.ShapeDtypeStruct((K, 1, C), dtype),      # max_de
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # diverging
+                jax.ShapeDtypeStruct((D, C), dtype),         # q_final
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max(int(max_treedepth) - 1, 1) + 1,
+                            4 * D + 3, block), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(
+                    16 * 2 ** 20,
+                    int(_lane_bytes(D) * block * 1.25)
+                    + K * (D + 8) * block * 4)),
+            interpret=interpret,
+        )(jnp.stack([jnp.asarray(seed, jnp.int32),
+                     jnp.asarray(i0, jnp.int32)]).reshape(1, 2),
+          q0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
+          jnp.asarray(sched), *const_vals, *packed_p)
+        names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
+                 'tree_size', 'accept_sum', 'max_de', 'diverging',
+                 'q_final')
+        return dict(zip(names, outs))
+
+    return run
+
+
+def nuts_chunk_batched_pallas(key, q0, metric, step_size, n_steps,
+                              max_treedepth, max_change, interpret=False,
+                              block=None, params=None, lpg_pb=None,
+                              lpg_1=None, i0=0):
+    """Run ``n_steps`` frozen-configuration NUTS transitions in one kernel.
+
+    The chunk analog of ``nuts_transition_batched_pallas``: same
+    (key, q0 (C, D), diag metric, per-chain step size) contract, but the
+    momentum refresh between transitions runs in-kernel and every
+    transition's sample + stats come back stacked over a leading
+    ``n_steps`` axis. Valid ONLY when step size and metric are frozen
+    (post-warmup — the reference freezes both after tuning,
+    ``step_size.py:31-45``). Returns ``(q_chunk (n_steps, C, D),
+    q_last (C, D), NutsStats with (n_steps, C) leaves)``.
+    """
+    if not isinstance(metric, DiagMetricState):
+        raise ValueError('the Pallas NUTS path supports the diagonal '
+                         'metric only.')
+    C, D = q0.shape
+    dtype = q0.dtype
+    var = metric.var
+    var_t = (var.T if var.ndim == 2
+             else jnp.broadcast_to(var[:, None], (D, C))).astype(dtype)
+    # NO key split: the key stays fixed across a run's frozen chunks and
+    # the per-transition stream is salted by the global iteration index
+    # (``i0 + t``), so chunk boundaries cannot change the random stream —
+    # required for bitwise checkpoint resume
+    seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    if lpg_pb is None:
+        lpg_pb = lambda p, x: lpg_1(x)
+        params = ()
+    run = make_nuts_pallas_multi(lpg_pb, params, D, C, n_steps,
+                                 max_treedepth, max_change, dtype,
+                                 block=block, interpret=interpret)
+    o = run(seed, i0, q0.T, var_t, step_size, jax.tree.leaves(params))
+    n_prop = jnp.maximum(o['tree_size'][:, 0], 1).astype(dtype)
+    stats = NutsStats(
+        logp=o['logp'][:, 0], energy=o['energy'][:, 0],
+        tree_depth=o['tree_depth'][:, 0], tree_size=o['tree_size'][:, 0],
+        mean_tree_accept=o['accept_sum'][:, 0] / n_prop,
+        energy_change=o['energy_change'][:, 0],
+        max_energy_change=o['max_de'][:, 0],
+        diverging=o['diverging'][:, 0].astype(bool))
+    q_chunk = jnp.swapaxes(o['q'], 1, 2)   # (n_steps, C, D)
+    return q_chunk, o['q_final'].T, stats
 
 
 def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_1,

@@ -31,9 +31,13 @@ class _SlotView(MutableMapping):
         self._slot = slot
 
     def __getitem__(self, name):
+        # Missing names raise (matching reference dict semantics,
+        # ``bayesfast/utils/collections.py``) so pipeline wiring errors
+        # surface instead of propagating silently as None; use ``.get()``
+        # (from MutableMapping) for the None-returning lookup.
         rec = self._table.get(name)
         if rec is None:
-            return None
+            raise KeyError(name)
         return rec[self._slot]
 
     def __setitem__(self, name, value):

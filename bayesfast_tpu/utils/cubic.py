@@ -352,7 +352,7 @@ def _set_derivative(xs, cs, m, xp):
 
 @jax.jit
 def _set_solve(xs, ys, cs, m, yp):
-    """Inverse via bracketed Newton (16 lockstep sweeps).
+    """Inverse via bracketed Newton (28 lockstep sweeps).
 
     The reference inverts with bisection (``_cubic.pyx:140-168``); a pure
     60-step bisection port was the top cost of the evidence phase (the
@@ -360,8 +360,11 @@ def _set_solve(xs, ys, cs, m, yp):
     110 s of the ring-64 GBS wall). The cubic is monotone on each
     interval, so safeguarded Newton from a linear-interpolation start
     converges quadratically while the bracket update keeps the bisection
-    worst-case; 16 sweeps reach f64 round-off where 60 bisections gained
-    one bit each.
+    worst-case. 28 sweeps reach f64 round-off in the regular case, and
+    even when Newton is rejected every sweep (df ~ 0 in near-flat
+    monotone segments, e.g. KDE-CDF tails) the pure-bisection fallback
+    still reaches ~4e-9 of the knot interval — far cheaper than the 60
+    reference bisections.
     """
     def one(x_knots, y_knots, c, m_d, pts):
         j = jnp.searchsorted(y_knots, pts, side='right')
@@ -392,7 +395,7 @@ def _set_solve(xs, ys, cs, m, yp):
             return a, b, jnp.where(ok, t_n, mid)
 
         a0 = jnp.zeros_like(pts)
-        a, b, t = jax.lax.fori_loop(0, 16, body, (a0, b0, t_init))
+        a, b, t = jax.lax.fori_loop(0, 28, body, (a0, b0, t_init))
         inner = x0 + jnp.clip(t, a, b)
         lo = x_knots[0] + (pts - c[0, 3]) / c[0, 2]
         hi = x_knots[m_d - 1] + (pts - c[m_d, 3]) / c[m_d, 2]

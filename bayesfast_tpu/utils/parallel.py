@@ -25,12 +25,52 @@ plain serial map for debugging. An existing ``concurrent.futures`` executor
 can also be passed and is used as-is (not shut down on exit).
 """
 
+import atexit
 import multiprocessing
 import os
 from concurrent.futures import (Executor, ProcessPoolExecutor,
                                 ThreadPoolExecutor)
 
 __all__ = ['ParallelBackend', 'get_backend', 'set_backend']
+
+
+# Process pools are cached for the life of the interpreter: forkserver
+# workers pay a module-import bootstrap on creation (fork workers don't,
+# but forking a JAX-initialized parent is unsafe — see ParallelBackend),
+# so transient per-map process pools would dominate short external-model
+# batches. Keyed by (start method, width); shut down at exit.
+_proc_pools = {}
+
+
+def _shutdown_proc_pools():
+    for pool in _proc_pools.values():
+        pool.shutdown(wait=False, cancel_futures=True)
+    _proc_pools.clear()
+
+
+atexit.register(_shutdown_proc_pools)
+
+
+def _shared_proc_pool(mp_context, width):
+    key = (mp_context, width)
+    pool = _proc_pools.get(key)
+    if pool is not None and not getattr(pool, '_broken', False):
+        return pool
+    ctx = multiprocessing.get_context(mp_context)
+    if mp_context == 'forkserver':
+        # Preload the heavy scientific stack into the forkserver template
+        # (first call wins; no-op once the server runs). Importing jax
+        # does NOT start the device runtime — that happens at first
+        # backend use — so the template stays fork-safe while workers
+        # skip the multi-second imports they would otherwise pay
+        # unpickling user callables.
+        try:
+            ctx.set_forkserver_preload(['numpy', 'jax', 'bayesfast_tpu'])
+        except Exception:
+            pass
+    pool = ProcessPoolExecutor(width, mp_context=ctx)
+    _proc_pools[key] = pool
+    return pool
 
 
 def _auto_workers(n_items, processes=False):
@@ -59,13 +99,17 @@ class ParallelBackend:
         ``Executor`` or ``serial=True`` is given.
     mp_context : str, optional
         Multiprocessing start method for ``kind='processes'``; default
-        ``'fork'`` (workers inherit imports — no per-worker JAX re-import;
-        worker code must stay JAX-free). Pass ``'spawn'`` for libraries
-        that are not fork-safe.
+        ``'forkserver'`` — forking the main process directly after the
+        JAX/TPU runtime has started its threads can deadlock a child
+        (fork clones only the calling thread; mutexes held by runtime
+        threads stay locked forever), whereas the forkserver's template
+        process is JAX-free, so its forks are safe and still cheap.
+        Pass ``'fork'`` to inherit the parent's imports (only safe
+        before any device use) or ``'spawn'`` for maximum isolation.
     """
 
     def __init__(self, backend=None, serial=False, kind=None,
-                 mp_context='fork'):
+                 mp_context='forkserver'):
         if isinstance(backend, ParallelBackend):
             serial = serial or backend._serial
             kind = kind or backend._kind
@@ -100,8 +144,7 @@ class ParallelBackend:
 
     def _make_pool(self, width):
         if self._kind == 'processes':
-            ctx = multiprocessing.get_context(self._mp_context)
-            return ProcessPoolExecutor(width, mp_context=ctx)
+            return _shared_proc_pool(self._mp_context, width)
         return ThreadPoolExecutor(width)
 
     def _pool_for(self, n_items):
@@ -114,7 +157,8 @@ class ParallelBackend:
             return self._spec, False
         width = self._spec if isinstance(self._spec, int) else \
             _auto_workers(n_items, self._kind == 'processes')
-        return self._make_pool(width), True
+        # shared (cached) process pools are never owned by one map call
+        return self._make_pool(width), self._kind != 'processes'
 
     def __enter__(self):
         # Pre-open a pool so repeated map() calls inside the block reuse it.
@@ -126,7 +170,8 @@ class ParallelBackend:
 
     def __exit__(self, *exc):
         if self._entered is not None:
-            self._entered.shutdown()
+            if self._kind != 'processes':  # shared pools persist
+                self._entered.shutdown()
             self._entered = None
         return False
 

@@ -38,7 +38,7 @@ def _setup_cache(jax):
     configuration (including the driver's) should pay it once."""
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(_REPO, '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
 
 def _measured_copy_bw(jnp, reps=8):

@@ -13,7 +13,7 @@ def setup_cache():
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(_REPO, '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
 
 def sync(*arrays):

@@ -106,3 +106,74 @@ def test_fused_to_original_with_logdet():
     xo, ld = con.to_original_with_logdet(x, None, False)
     assert np.allclose(np.asarray(xo), x)
     assert np.allclose(np.asarray(ld), 0.0)
+
+
+def test_fused_logdet_extreme_x_float32():
+    """Round-4 advisor regression: with arithmetic branch masking,
+    exp(x) overflowed to inf at x > ~88.7 in float32 and 0*inf NaN-poisoned
+    unbounded dims. The fused transform must stay exact and finite at
+    |x| ~ 100 wherever the unfused path is."""
+    from bayesfast_tpu import config
+
+    old = config.get_dtype()
+    config.set_dtype(jnp.float32)
+    try:
+        D = 4
+        scales = con.normalize_scales(
+            np.stack([np.full(D, -2.0), np.full(D, 3.0)]).T)
+        # one dim per bound combination: none, upper, lower, both
+        bounds = np.array(BOUND_CASES, bool)
+        for xval in (100.0, -100.0, 0.5):
+            x = np.full((D,), xval)
+            xo, ld = con.to_original_with_logdet(x, scales, bounds)
+            xo_ref = np.asarray(con.to_original(x, scales, bounds))
+            g_ref = np.asarray(con.to_original_grad(x, scales, bounds))
+            ld_ref = np.sum(np.log(np.abs(g_ref)))
+            xo = np.asarray(xo)
+            # unbounded + both-bounds dims are always finite
+            assert np.isfinite(xo[0]) and np.isfinite(xo[3])
+            np.testing.assert_allclose(xo[np.isfinite(xo_ref)],
+                                       xo_ref[np.isfinite(xo_ref)],
+                                       rtol=1e-6)
+            assert np.isfinite(ld) == np.isfinite(ld_ref)
+            if np.isfinite(ld_ref):
+                np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-5)
+            # gradient must be nan-free on the finite side
+            def f(u):
+                xo, ld = con.to_original_with_logdet(u, scales, bounds)
+                return jnp.sum(xo * jnp.isfinite(xo)) + \
+                    jnp.where(jnp.isfinite(ld), ld, 0.0)
+            g = np.asarray(jax.grad(f)(jnp.asarray(x, jnp.float32)))
+            assert np.isfinite(g[0])  # unbounded dim: never NaN
+    finally:
+        config.set_dtype(old)
+
+
+def test_numpy_host_twins_match_device():
+    """The NumPy host-path transforms (used for driver-side trace
+    bookkeeping) must match the jnp device versions exactly on every
+    bound combination."""
+    rng = np.random.default_rng(9)
+    D = 8
+    scales = con.normalize_scales(
+        np.stack([np.full(D, -2.0), np.full(D, 3.0)]).T)
+    bounds = np.array((BOUND_CASES * 2)[:D], bool)
+    x_t = rng.normal(size=(7, D))              # transformed space
+    x_o = np.asarray(con.to_original(x_t, scales, bounds))  # original space
+
+    pairs = [
+        (con.np_to_original, con.to_original, x_t),
+        (con.np_to_original_grad, con.to_original_grad, x_t),
+        (con.np_to_original_grad2, con.to_original_grad2, x_t),
+        (con.np_from_original, con.from_original, x_o),
+        (con.np_from_original_grad, con.from_original_grad, x_o),
+        (con.np_from_original_grad2, con.from_original_grad2, x_o),
+    ]
+    for f_np, f_j, arg in pairs:
+        a = np.asarray(f_np(arg, scales, bounds))
+        b = np.asarray(f_j(arg, scales, bounds))
+        np.testing.assert_allclose(a, b, rtol=5e-6, atol=1e-12)
+        # unbounded fall-through
+        a0 = np.asarray(f_np(arg, None, False))
+        b0 = np.asarray(f_j(arg, None, False))
+        np.testing.assert_allclose(a0, b0, rtol=5e-6)

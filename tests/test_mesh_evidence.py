@@ -81,6 +81,10 @@ def test_two_axis_mesh_sampler_equivalence():
     den = bf.DensityLite(logp=lambda x: -0.5 * jnp.sum(x ** 2),
                          input_size=D, vectorized=True)
     try:
+        # this is a SHARDING-equivalence test: pin one kernel, since under
+        # the 'auto' default the unsharded run would pick the Pallas
+        # megakernel (different random stream than the mesh run's XLA path)
+        bf.config.set_nuts_kernel('xla')
         bf.utils.set_generator(11)
         tt_m = bf.sample(den, {'n_chain': 16, 'n_iter': 5, 'n_warmup': 3},
                          verbose=False, mesh=mesh2)
@@ -89,4 +93,5 @@ def test_two_axis_mesh_sampler_equivalence():
                          verbose=False, mesh=None)
         assert np.allclose(tt_m.samples, tt_s.samples, atol=1e-12)
     finally:
+        bf.config.set_nuts_kernel('auto')
         set_mesh(None)

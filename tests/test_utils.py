@@ -170,3 +170,23 @@ def test_kde_resample():
     assert np.allclose(np.cov(draws.T), target_cov, atol=0.08)
     # default size = effective sample size
     assert k.resample().shape == (int(k.neff), 2)
+
+
+def test_cubic_inverse_near_flat_segment():
+    """Round-4 advisor: when Newton steps are rejected (df ~ 0 in near-flat
+    monotone regions, e.g. KDE-CDF tails), each sweep degrades to one
+    bisection; the sweep count must still deliver high inverse accuracy."""
+    from bayesfast_tpu.utils.cubic import cubic_spline
+
+    # error-function-like data: extremely flat tails, steep center
+    xs = np.linspace(-8.0, 8.0, 2001)
+    cs = cubic_spline(xs, lambda xx: np.tanh(3.0 * xx)
+                      + 1e-3 * xx)
+    x_test = np.concatenate([np.linspace(-7.5, -3.0, 200),   # flat tail
+                             np.linspace(-0.5, 0.5, 100),    # steep
+                             np.linspace(3.0, 7.5, 200)])    # flat tail
+    y = np.asarray(cs.evaluate(x_test))
+    x_rec = np.asarray(cs.solve(y))
+    # round-trip through the flat tails: |dy/dx| ~ 1e-3 there, so x error
+    # = y-solve error / slope; require well under one knot spacing
+    np.testing.assert_allclose(x_rec, x_test, atol=2e-6)
