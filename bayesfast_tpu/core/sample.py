@@ -486,10 +486,15 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     # sampling program every bf.sample invocation
     from ..config import get_nuts_kernel
     kernel_mode = get_nuts_kernel()
-    # the Pallas megakernel is a single-program kernel; mesh-sharded runs
-    # stay on the XLA tree loop (auto-SPMD cannot partition the custom call)
+    # mesh runs use the megakernel through a shard_map manual region
+    # (auto-SPMD cannot partition the custom call); the kernel RNG is
+    # global-chain-indexed, so sharded and unsharded runs are bitwise
+    # identical. Requires the chain count to divide the mesh evenly.
+    from ..parallel.mesh import mesh_size as _mesh_size
+    mesh_ok = (mesh is None
+               or trace.n_chain % max(_mesh_size(mesh), 1) == 0)
     use_pallas = (kernel_mode in ('pallas', 'auto') and algo == 'nuts'
-                  and mesh is None)
+                  and mesh_ok)
     nuts_kernel = 'pallas' if use_pallas else 'xla'
     # continuations/resumes keep the kernel the trace started with — the
     # two kernels have different (distribution-identical) random streams,
@@ -517,15 +522,15 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             max_leapfrogs=getattr(trace, 'max_leapfrogs', 1024),
             adapt_traj_len=getattr(trace, 'adapt_traj_len', True),
             chees_lr=getattr(trace, 'chees_lr', 0.025),
-            nuts_kernel=nk)
+            nuts_kernel=nk, mesh=mesh)
 
     cached = getattr(trace, '_driver_cache', None)
-    if cached is not None and cached[0] == (id(density), algo,
-                                            nuts_kernel):
+    cache_key = (id(density), algo, nuts_kernel, id(mesh))
+    if cached is not None and cached[0] == cache_key:
         driver = cached[1]
     else:
         driver = _build_driver(nuts_kernel)
-        trace._driver_cache = ((id(density), algo, nuts_kernel), driver)
+        trace._driver_cache = (cache_key, driver)
 
     if trace._carry is not None:
         carry = jax.tree.map(jnp.asarray, trace._carry)
@@ -554,6 +559,14 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
     while done < n_run:
         n_step = min(n_update, n_run - done)
         it0 = i_iter + done
+        # never let a chunk straddle the warmup boundary: post-warmup
+        # transitions must ALWAYS take the frozen-chunk path (which leaves
+        # the chain keys untouched) — a straddling chunk would advance the
+        # keys through its post-warmup tail on the scan path, making the
+        # random stream depend on the chunk partitioning and breaking
+        # bitwise checkpoint resume
+        if it0 < trace.n_warmup < it0 + n_step:
+            n_step = trace.n_warmup - it0
         warmup_flags = (it0 + np.arange(n_step)) < trace.n_warmup
         t_i = time.time()
         params = density.current_params()
@@ -587,7 +600,8 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
             use_pallas = False
             trace._nuts_kernel_pinned = 'xla'
             driver = _build_driver('xla')
-            trace._driver_cache = ((id(density), algo, 'xla'), driver)
+            trace._driver_cache = ((id(density), algo, 'xla', id(mesh)),
+                                   driver)
             carry, (samples, (stats, extras)) = driver.run(
                 carry, warmup_flags, params)
         if extras is None:

@@ -44,8 +44,9 @@ class ChainDriver:
                  update_window=1, doubling=True, adapt_metric=True,
                  logp_and_grad_base=None, pooled_metric=False,
                  max_leapfrogs=1024, adapt_traj_len=True, chees_lr=0.025,
-                 nuts_kernel='xla'):
+                 nuts_kernel='xla', mesh=None):
         self._nuts_kernel = nuts_kernel
+        self._mesh = mesh
         self._max_leapfrogs = int(max_leapfrogs)
         self._adapt_traj_len = bool(adapt_traj_len)
         self._chees_lr = float(chees_lr)
@@ -132,11 +133,16 @@ class ChainDriver:
             if (self._nuts_kernel == 'pallas'
                     and isinstance(metric, DiagMetricState)):
                 from .nuts_pallas import nuts_transition_batched_pallas
-                q_new, stats = nuts_transition_batched_pallas(
-                    k_core, q, metric, eps, None,
-                    self._max_treedepth, self._max_change,
-                    interpret=jax.default_backend() == 'cpu',
-                    params=params, lpg_pb=self._logp_and_grad)
+                interp = jax.default_backend() == 'cpu'
+                if self._mesh is not None:
+                    q_new, stats = self._sharded_pallas_single(
+                        k_core, q, metric.var, eps, params, interp)
+                else:
+                    q_new, stats = nuts_transition_batched_pallas(
+                        k_core, q, metric, eps, None,
+                        self._max_treedepth, self._max_change,
+                        interpret=interp,
+                        params=params, lpg_pb=self._logp_and_grad)
             else:
                 q_new, stats = nuts_transition_batched(
                     k_core, q, metric, eps, lpg_b,
@@ -209,6 +215,49 @@ class ChainDriver:
 
         return jax.jit(scan_fn, donate_argnums=(0,))
 
+    @staticmethod
+    def _flat_shard_index(axes):
+        """Row-major flat index of this shard over the given mesh axes."""
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+
+    def _sharded_pallas_single(self, k_core, q, var, eps, params, interp):
+        """One NUTS transition on the Pallas kernel, mesh-sharded over
+        chains via ``shard_map`` — each device runs the kernel on its
+        local chain shard. The kernel RNG is keyed by GLOBAL chain index
+        (``chain_start``), so the result is bitwise identical to the
+        unsharded kernel (auto-SPMD cannot partition a ``pallas_call``,
+        which is why this is a manual region)."""
+        from jax.sharding import PartitionSpec as P
+        from .metrics import DiagMetricState
+        from .nuts_pallas import nuts_transition_batched_pallas
+        from .nuts import NutsStats
+        mesh = self._mesh
+        axes = tuple(mesh.axis_names)
+        pc, pr = P(axes), P()
+        var_spec = pc if var.ndim == 2 else pr
+        eps_spec = pc if getattr(eps, 'ndim', 0) >= 1 else pr
+
+        def local(k, q_l, var_l, eps_l, params_l):
+            cs = self._flat_shard_index(axes) * q_l.shape[0]
+            metric_l = DiagMetricState(var=var_l, fg=None, bg=None,
+                                       n_samples=None, prev_update=None,
+                                       adapt_window=None)
+            return nuts_transition_batched_pallas(
+                k, q_l, metric_l, eps_l, None, self._max_treedepth,
+                self._max_change, interpret=interp, params=params_l,
+                lpg_pb=self._logp_and_grad, chain_start=cs)
+
+        # check_vma=False: the pallas_call's ShapeDtypeStructs carry no
+        # varying-mesh-axes annotation, which the checker would reject
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(pr, pc, var_spec, eps_spec, pr),
+                           out_specs=(pc, NutsStats(*([pc] * 8))),
+                           check_vma=False)
+        return fn(k_core, q, var, eps, params)
+
     def _build_frozen_chunk(self, n_steps):
         from .metrics import DiagMetricState  # noqa: F401 (contract doc)
         from .nuts_pallas import nuts_chunk_batched_pallas
@@ -218,11 +267,17 @@ class ChainDriver:
             # (key, global-iteration) keyed, so any chunk partitioning —
             # including a checkpoint resume — reproduces the same stream
             eps = jnp.exp(carry.step.log_bar)  # frozen post-warmup size
-            q_chunk, q_last, stats = nuts_chunk_batched_pallas(
-                carry.key[0], carry.q, carry.metric, eps, n_steps,
-                self._max_treedepth, self._max_change,
-                interpret=jax.default_backend() == 'cpu',
-                params=params, lpg_pb=self._logp_and_grad, i0=i0)
+            interp = jax.default_backend() == 'cpu'
+            if self._mesh is not None:
+                q_chunk, q_last, stats = self._sharded_pallas_chunk(
+                    carry.key[0], carry.q, carry.metric.var, eps,
+                    n_steps, params, i0, interp)
+            else:
+                q_chunk, q_last, stats = nuts_chunk_batched_pallas(
+                    carry.key[0], carry.q, carry.metric, eps, n_steps,
+                    self._max_treedepth, self._max_change,
+                    interpret=interp,
+                    params=params, lpg_pb=self._logp_and_grad, i0=i0)
             accept = stats.mean_tree_accept          # (n_steps, C)
             # the only live adaptation state post-warmup is the acceptance
             # diagnostic accumulator (``step_size.update_step_size``)
@@ -236,6 +291,40 @@ class ChainDriver:
             return new_carry, (q_chunk, (stats, None))
 
         return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    def _sharded_pallas_chunk(self, key, q, var, eps, n_steps, params, i0,
+                              interp):
+        """Mesh-sharded frozen chunk: the K-transition kernel runs per
+        shard under ``shard_map``; global-chain-indexed RNG keeps the
+        stream bitwise-equal to the unsharded chunk kernel."""
+        from jax.sharding import PartitionSpec as P
+        from .metrics import DiagMetricState
+        from .nuts_pallas import nuts_chunk_batched_pallas
+        from .nuts import NutsStats
+        mesh = self._mesh
+        axes = tuple(mesh.axis_names)
+        pc, pr = P(axes), P()
+        pkc = P(None, axes)          # (n_steps, C) stats
+        pkv = P(None, axes, None)    # (n_steps, C, D) samples
+        var_spec = pc if var.ndim == 2 else pr
+        eps_spec = pc if getattr(eps, 'ndim', 0) >= 1 else pr
+
+        def local(k, q_l, var_l, eps_l, params_l, i0_l):
+            cs = self._flat_shard_index(axes) * q_l.shape[0]
+            metric_l = DiagMetricState(var=var_l, fg=None, bg=None,
+                                       n_samples=None, prev_update=None,
+                                       adapt_window=None)
+            return nuts_chunk_batched_pallas(
+                k, q_l, metric_l, eps_l, n_steps, self._max_treedepth,
+                self._max_change, interpret=interp, params=params_l,
+                lpg_pb=self._logp_and_grad, i0=i0_l, chain_start=cs)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pr, pc, var_spec, eps_spec, pr, pr),
+            out_specs=(pkv, pc, NutsStats(*([pkc] * 8))),
+            check_vma=False)
+        return fn(key, q, var, eps, params, i0)
 
     # transitions per kernel call: bounds the (K, D+8, block)-shaped VMEM
     # output windows (a 200-transition call measured over the v5e scoped

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .metrics import DiagMetricState, sample_momentum_b
+from .metrics import DiagMetricState
 from .nuts import NutsStats
 
 __all__ = ['nuts_transition_batched_pallas', 'nuts_chunk_batched_pallas',
@@ -59,17 +59,21 @@ def _fmix32(x):
     return x
 
 
-def _uniforms(seed, it, salt, shape):
+def _uniforms(seed, it, salt, shape, lane_off):
     """Counter-based f32 uniforms in [0, 1), pure jnp uint32 ops.
 
-    Stateless — (seed, iteration, salt, lane) fully determine the draw —
-    so the stream is identical in compiled Mosaic and interpret mode,
-    letting CPU tests validate the exact compiled behavior (the TPU
-    hardware PRNG has no interpret-mode implementation). Two murmur3
-    finalizer rounds over golden-ratio-spread counters give full
-    avalanche between neighboring counters.
+    Stateless — (seed, iteration, salt, GLOBAL chain index) fully
+    determine the draw — so the stream is identical in compiled Mosaic
+    and interpret mode, letting CPU tests validate the exact compiled
+    behavior (the TPU hardware PRNG has no interpret-mode
+    implementation), AND identical across topologies: ``lane_off`` is
+    the block's global chain offset (shard start + block start), so a
+    mesh-sharded run, a single-chip run, and a resumed run with a
+    different block size all draw the same numbers for the same chain.
+    Two murmur3 finalizer rounds over golden-ratio-spread counters give
+    full avalanche between neighboring counters.
     """
-    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + lane_off
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     x = (seed
          ^ (lane * jnp.uint32(0x9E3779B9))
@@ -112,8 +116,8 @@ def _schedule_table(max_treedepth):
 
 
 def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
-                     *, velocity, lpg_t, D, Cb, max_treedepth, max_change,
-                     dtype):
+                     lane_off, *, velocity, lpg_t, D, Cb, max_treedepth,
+                     max_change, dtype):
     """One full NUTS transition for one chain block, as VMEM values.
 
     Shared by the single-transition kernel and the multi-transition chunk
@@ -213,7 +217,7 @@ def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
         zero_i,                   # depth
         # per-lane flags carried as int32 — Mosaic cannot round-trip i1
         # vectors through the loop carry (i8 memory -> i1 truncation)
-        (_uniforms(seed, jnp.int32(-1), 7, (1, Cb)) < 0.5
+        (_uniforms(seed, jnp.int32(-1), 7, (1, Cb), lane_off) < 0.5
          ).astype(jnp.int32),     # go_right
         zero_s,                   # eps (filled below)
         zero_s,                   # accept_sum
@@ -240,7 +244,7 @@ def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
         go_right = go_right_i != 0
         diverging = diverging_i != 0
         done = done_i != 0
-        u = _uniforms(seed, it, 0, (3, Cb))
+        u = _uniforms(seed, it, 0, (3, Cb), lane_off)
         u0 = u[0:1]
         u1 = u[1:2]
         u2 = u[2:3]
@@ -294,7 +298,8 @@ def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
                 # never collide for user-raised tree depths (> 16 would
                 # have reused uniforms across merges with a fixed 16)
                 um = _uniforms(
-                    seed, it * jnp.int32(max_treedepth + 1) + m, 3, (1, Cb))
+                    seed, it * jnp.int32(max_treedepth + 1) + m, 3,
+                    (1, Cb), lane_off)
                 t1 = stack_ref[m]
                 merged, mturn = merge_frames(um, t1, inc, m + 1)
                 ok = ok_merge & ~turned
@@ -408,20 +413,37 @@ def _transition_core(seed, q0, p0, step_size, sched_ref, stack_ref,
             out[12].astype(jnp.int32))  # diverging
 
 
-def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
+def _gauss_from_uniforms(seed, counter, salt, shape, lane_off):
+    """Box-Muller standard normals from the counter-based uniform stream.
+
+    Two uniforms per normal (one pair per element — simple and exact;
+    the draw happens once per transition, amortized over ~hundreds of
+    leapfrogs). ``1 - u`` keeps the log argument in (0, 1].
+    """
+    u1 = _uniforms(seed, counter, salt, shape, lane_off)
+    u2 = _uniforms(seed, counter, salt + 1, shape, lane_off)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _nuts_block_kernel(seed_ref, q0_ref, var_ref, eps_ref, sched_ref,
                        qo_ref, logp_ref, en_ref, de_ref, depth_ref,
                        size_ref, asum_ref, mde_ref, div_ref, stack_ref,
                        *, lpg_t, D, Cb, max_treedepth, max_change, dtype):
-    """One chain block, one full NUTS transition."""
-    seed = (seed_ref[0, 0].astype(jnp.uint32)
-            + pl.program_id(0).astype(jnp.uint32)
-            * jnp.uint32(1640531527))
+    """One chain block, one full NUTS transition (momentum drawn
+    in-kernel from the global-chain-indexed counter RNG, so the stream
+    is identical under any sharding/block geometry)."""
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    lane_off = (seed_ref[0, 1].astype(jnp.uint32)
+                + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(Cb))
 
     def velocity(p):
         return var_ref[:] * p
 
+    z = _gauss_from_uniforms(seed, jnp.int32(-9), 16, (D, Cb), lane_off)
+    p0 = z / jnp.sqrt(var_ref[:])
     (q_prop, en, logp, de, depth, size, asum, mde, div) = _transition_core(
-        seed, q0_ref[:], p0_ref[:], eps_ref[:], sched_ref, stack_ref,
+        seed, q0_ref[:], p0, eps_ref[:], sched_ref, stack_ref, lane_off,
         velocity=velocity, lpg_t=lpg_t, D=D, Cb=Cb,
         max_treedepth=max_treedepth, max_change=max_change, dtype=dtype)
     qo_ref[:] = q_prop
@@ -433,19 +455,6 @@ def _nuts_block_kernel(seed_ref, q0_ref, p0_ref, var_ref, eps_ref, sched_ref,
     asum_ref[:] = asum
     mde_ref[:] = mde
     div_ref[:] = div
-
-
-def _gauss_from_uniforms(seed, counter, salt, shape):
-    """Box-Muller standard normals from the counter-based uniform stream.
-
-    Two uniforms per normal (one pair per element — simple and exact;
-    the draw happens once per transition, amortized over ~hundreds of
-    leapfrogs). ``1 - u`` keeps the log argument in (0, 1].
-    """
-    u1 = _uniforms(seed, counter, salt, shape)
-    u2 = _uniforms(seed, counter, salt + 1, shape)
-    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
-    return r * jnp.cos((2.0 * np.pi) * u2)
 
 
 def _nuts_multi_kernel(seed_ref, q0_ref, var_ref, eps_ref, sched_ref,
@@ -468,10 +477,10 @@ def _nuts_multi_kernel(seed_ref, q0_ref, var_ref, eps_ref, sched_ref,
     Outputs are (K, D, block) / (K, 1, block) blocks plus the final
     position ``qf`` consumed as the next chunk's start.
     """
-    seed = (seed_ref[0, 0].astype(jnp.uint32)
-            + pl.program_id(0).astype(jnp.uint32)
-            * jnp.uint32(1640531527))
+    seed = seed_ref[0, 0].astype(jnp.uint32)
     i0 = seed_ref[0, 1].astype(jnp.uint32)   # global iteration offset
+    lane_off = (seed_ref[0, 2].astype(jnp.uint32)
+                + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(Cb))
 
     def velocity(p):
         return var_ref[:] * p
@@ -489,11 +498,12 @@ def _nuts_multi_kernel(seed_ref, q0_ref, var_ref, eps_ref, sched_ref,
         # full-avalanche finalizer gives non-overlapping streams.
         seed_t = seed ^ _fmix32(i0 + t.astype(jnp.uint32)
                                 + jnp.uint32(0x9E3779B9))
-        z = _gauss_from_uniforms(seed_t, jnp.int32(-9), 16, (D, Cb))
+        z = _gauss_from_uniforms(seed_t, jnp.int32(-9), 16, (D, Cb),
+                                 lane_off)
         p0 = z / sqrt_var
         (q_prop, en, logp, de, depth, size, asum, mde, div) = \
             _transition_core(
-                seed_t, q, p0, step_size, sched_ref, stack_ref,
+                seed_t, q, p0, step_size, sched_ref, stack_ref, lane_off,
                 velocity=velocity, lpg_t=lpg_t, D=D, Cb=Cb,
                 max_treedepth=max_treedepth, max_change=max_change,
                 dtype=dtype)
@@ -606,9 +616,12 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
     matrices, bound masks...) and the flattened ``params`` leaves
     (surrogate coefficients — runtime values, so refits never rebuild the
     kernel) all become replicated kernel inputs, and the jaxpr is
-    re-evaluated inside the kernel via ``eval_jaxpr``. Returns
-    ``fn(seed, q0_t, p0_t, var_t, eps, flat_params) -> dict`` of
-    lane-minor outputs.
+    re-evaluated inside the kernel via ``eval_jaxpr``. Momentum is drawn
+    in-kernel from the global-chain-indexed counter RNG (``chain_start``
+    = this shard's first global chain), so the same seed produces the
+    same transition for a chain under ANY sharding/block geometry.
+    Returns ``fn(seed, chain_start, q0_t, var_t, eps, flat_params) ->
+    dict`` of lane-minor outputs.
     """
     if block is None:
         block = _block_for(C, D)
@@ -621,8 +634,8 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
     n_consts = len(const_vals)
 
     def kernel(*refs):
-        const_refs = refs[6:6 + n_consts]
-        param_refs = refs[6 + n_consts:6 + n_consts + n_params]
+        const_refs = refs[5:5 + n_consts]
+        param_refs = refs[5 + n_consts:5 + n_consts + n_params]
         cvals = [_unpack_const(r, s, b)
                  for r, (s, b) in zip(const_refs, const_meta)]
 
@@ -633,9 +646,9 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                 cj.jaxpr, cvals, *pvals, q_t)
             return logp[None, :], grad
 
-        rest = refs[6 + n_consts + n_params:]
+        rest = refs[5 + n_consts + n_params:]
         _nuts_block_kernel(
-            refs[0], refs[1], refs[2], refs[3], refs[4], refs[5], *rest,
+            refs[0], refs[1], refs[2], refs[3], refs[4], *rest,
             lpg_t=lpg_t, D=D, Cb=block, max_treedepth=int(max_treedepth),
             max_change=float(max_change), dtype=dtype)
 
@@ -643,7 +656,7 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                             memory_space=pltpu.VMEM)
     sca_spec = pl.BlockSpec((1, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    seed_spec = pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     def _zero_map(nd):
         return lambda i: (0,) * nd
@@ -661,14 +674,14 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
     sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
 
-    def run(seed, q0_t, p0_t, var_t, eps, flat_p):
+    def run(seed, chain_start, q0_t, var_t, eps, flat_p):
         packed_p = [_pack_const(l)[0] for l in flat_p]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 seed_spec,
-                vec_spec, vec_spec, vec_spec, sca_spec, sched_spec,
+                vec_spec, vec_spec, sca_spec, sched_spec,
                 *const_specs, *_param_specs,
             ],
             out_specs=(
@@ -694,8 +707,9 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
                 vmem_limit_bytes=max(16 * 2 ** 20,
                                      int(_lane_bytes(D) * block * 1.25))),
             interpret=interpret,
-        )(jnp.reshape(seed, (1, 1)).astype(jnp.int32),
-          q0_t, p0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
+        )(jnp.stack([jnp.asarray(seed, jnp.int32),
+                     jnp.asarray(chain_start, jnp.int32)]).reshape(1, 2),
+          q0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
           jnp.asarray(sched), *const_vals, *packed_p)
         names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
                  'tree_size', 'accept_sum', 'max_de', 'diverging')
@@ -752,7 +766,7 @@ def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
                              memory_space=pltpu.VMEM)
     ksca_spec = pl.BlockSpec((K, 1, block), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, 2), lambda i: (0, 0),
+    seed_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
 
     def _zero_map(nd):
@@ -771,7 +785,7 @@ def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
     sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
 
-    def run(seed, i0, q0_t, var_t, eps, flat_p):
+    def run(seed, i0, chain_start, q0_t, var_t, eps, flat_p):
         packed_p = [_pack_const(l)[0] for l in flat_p]
         outs = pl.pallas_call(
             kernel,
@@ -808,7 +822,8 @@ def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
                     + K * (D + 8) * block * 4)),
             interpret=interpret,
         )(jnp.stack([jnp.asarray(seed, jnp.int32),
-                     jnp.asarray(i0, jnp.int32)]).reshape(1, 2),
+                     jnp.asarray(i0, jnp.int32),
+                     jnp.asarray(chain_start, jnp.int32)]).reshape(1, 3),
           q0_t, var_t, jnp.broadcast_to(eps, (1, C)).astype(dtype),
           jnp.asarray(sched), *const_vals, *packed_p)
         names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
@@ -822,7 +837,7 @@ def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
 def nuts_chunk_batched_pallas(key, q0, metric, step_size, n_steps,
                               max_treedepth, max_change, interpret=False,
                               block=None, params=None, lpg_pb=None,
-                              lpg_1=None, i0=0):
+                              lpg_1=None, i0=0, chain_start=0):
     """Run ``n_steps`` frozen-configuration NUTS transitions in one kernel.
 
     The chunk analog of ``nuts_transition_batched_pallas``: same
@@ -854,7 +869,8 @@ def nuts_chunk_batched_pallas(key, q0, metric, step_size, n_steps,
     run = make_nuts_pallas_multi(lpg_pb, params, D, C, n_steps,
                                  max_treedepth, max_change, dtype,
                                  block=block, interpret=interpret)
-    o = run(seed, i0, q0.T, var_t, step_size, jax.tree.leaves(params))
+    o = run(seed, i0, chain_start, q0.T, var_t, step_size,
+            jax.tree.leaves(params))
     n_prop = jnp.maximum(o['tree_size'][:, 0], 1).astype(dtype)
     stats = NutsStats(
         logp=o['logp'][:, 0], energy=o['energy'][:, 0],
@@ -870,7 +886,8 @@ def nuts_chunk_batched_pallas(key, q0, metric, step_size, n_steps,
 def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_1,
                                    max_treedepth, max_change,
                                    interpret=False, block=None,
-                                   params=None, lpg_pb=None):
+                                   params=None, lpg_pb=None,
+                                   chain_start=0):
     """Drop-in twin of ``nuts.nuts_transition_batched`` on the megakernel.
 
     Same (key, q0 (C, D), diag metric, step_size) interface and the same
@@ -887,19 +904,20 @@ def nuts_transition_batched_pallas(key, q0, metric, step_size, lpg_1,
                          'metric only.')
     C, D = q0.shape
     dtype = q0.dtype
-    key, k_mom, k_seed = jax.random.split(key, 3)
-    p0 = sample_momentum_b(metric, k_mom, (C, D), dtype)
     var = metric.var
     var_t = (var.T if var.ndim == 2
              else jnp.broadcast_to(var[:, None], (D, C))).astype(dtype)
-    seed = jax.random.randint(k_seed, (), 0, np.int32(2 ** 31 - 1),
+    # momentum is drawn in-kernel (global-chain-indexed counter RNG), so
+    # a mesh shard running chains [chain_start, chain_start + C) draws
+    # exactly what the unsharded kernel draws for those chains
+    seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1),
                               dtype=jnp.int32)
     if lpg_pb is None:
         lpg_pb = lambda p, x: lpg_1(x)
         params = ()
     run = make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change,
                            dtype, block=block, interpret=interpret)
-    o = run(seed, q0.T, p0.T, var_t, step_size,
+    o = run(seed, chain_start, q0.T, var_t, step_size,
             jax.tree.leaves(params))
     n_prop = jnp.maximum(o['tree_size'][0], 1).astype(dtype)
     stats = NutsStats(

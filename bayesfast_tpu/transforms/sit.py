@@ -70,6 +70,79 @@ def _flow_backward(xs, ys, cs, m, B, mu, y):
     return x, lj
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _knot_stage_device(y_T, w, bins, eb, edge_points):
+    """Device stage A of the per-dim spline fits: percentile knots,
+    edge-regression offsets, weighted KDE bandwidths, and the finite-row
+    count — ONE small packed fetch replaces the 12 MB host data mirror,
+    per-dim host percentiles and per-dim host bandwidth estimation
+    (measured ~40% of the SIT fit wall over a tunneled TPU).
+
+    ``y_T`` is (D, N); ``w`` (N,) unnormalized weights. Returns a packed
+    (D, n_q + 2 * edge_points + 2) array: [x0 | xe1 | xe2 | h | n_finite],
+    with the same linear-interpolation percentile semantics as
+    ``np.percentile`` on the host path.
+    """
+    D, N = y_T.shape
+    finite = jnp.isfinite(y_T).all(axis=0)
+    n_fin = jnp.sum(finite).astype(y_T.dtype)
+    ys = jnp.sort(y_T, axis=1)
+    qs = jnp.linspace(0.0, 100.0, bins + 1)[eb:-eb]
+    x0 = jnp.percentile(y_T, qs, axis=1).T          # (D, n_q)
+
+    ps = jnp.linspace(0.0, 100.0, edge_points + 2)[1:-1]
+
+    def prefix_quantiles(row, count):
+        # np.percentile('linear') over row[:count]
+        pos = ps / 100.0 * (count - 1.0)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+        hi = jnp.clip(lo + 1, 0, jnp.maximum(count - 1, 1).astype(jnp.int32))
+        frac = pos - lo
+        return row[lo] + (row[hi] - row[lo]) * frac
+
+    def suffix_quantiles(row, count):
+        pos = ps / 100.0 * (count - 1.0)
+        base = N - count
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, jnp.maximum(count - 1, 1).astype(jnp.int32))
+        frac = pos - lo
+        i_lo = jnp.clip(base + lo, 0, N - 1).astype(jnp.int32)
+        i_hi = jnp.clip(base + hi, 0, N - 1).astype(jnp.int32)
+        return row[i_lo] + (row[i_hi] - row[i_lo]) * frac
+
+    def per_dim(row_sorted, x0_d):
+        t1 = x0_d[eb]
+        t2 = x0_d[-eb - 1]
+        c1 = jnp.searchsorted(row_sorted, t1, side='left')
+        c2 = N - jnp.searchsorted(row_sorted, t2, side='right')
+        xe1 = prefix_quantiles(row_sorted, c1.astype(y_T.dtype)) - x0_d[0]
+        xe2 = suffix_quantiles(row_sorted, c2.astype(y_T.dtype)) - x0_d[-1]
+        return xe1, xe2
+
+    xe1, xe2 = jax.vmap(per_dim)(ys, x0)
+
+    # weighted Scott bandwidth per dim (``utils.kde.set_bandwidth``)
+    wn = w / jnp.sum(w)
+    neff = 1.0 / jnp.sum(wn * wn)
+    mean = y_T @ wn
+    diff = y_T - mean[:, None]
+    cov = jnp.sum(diff * diff * wn[None, :], axis=1) / (
+        1.0 - jnp.sum(wn * wn))
+    h = jnp.sqrt(cov) * neff ** (-0.2)
+
+    return jnp.concatenate(
+        [x0, xe1, xe2, h[:, None],
+         jnp.broadcast_to(n_fin, (D,))[:, None]], axis=1)
+
+
+class _NonFiniteLayer(Exception):
+    """Raised when a layer's input contains non-finite rows (detected on
+    device); ``SIT.fit`` drops them and reruns the layer."""
+
+
 class SIT:
     """Sliced Iterative Transform generative model.
 
@@ -158,22 +231,44 @@ class SIT:
                             **self.cubic_options)
 
     def _fit_splines_device(self, y, y_dev=None):
-        """All dims' spline fits with the KDE-cdf sums batched: ONE padded
-        device kernel per fit stage (see ``fit_spline_columns``), instead
-        of hundreds of per-dim evaluations. On remote-tunnel TPU hosts the
-        per-call latency of the per-dim path dominated the whole fit."""
+        """All dims' spline fits with every bulk stage on device: the
+        KDE-cdf sums run as ONE padded kernel per fit stage (see
+        ``fit_spline_columns``), and the stage-A percentile knots, edge
+        offsets and bandwidths come from ``_knot_stage_device`` as one
+        small packed fetch — the host never touches the full data columns.
+        On remote-tunnel TPU hosts per-call latency dominated the fit."""
         from ..ops.kde_pallas import kde_cdf_batch
+        from ..utils.cubic import fit_spline_columns
 
         D = self.dim
-        cols = [np.ascontiguousarray(y[:, i], np.float64) for i in range(D)]
-        hs = np.empty(D)
-        for i in range(D):
-            k = kde(cols[i], bw_factor=self.bw_factor,
-                    weights=self._weights)
-            hs[i] = np.sqrt(k.covariance[0, 0])
         data_dev = (y_dev.T.astype(jnp.float32) if y_dev is not None
                     else jnp.asarray(np.asarray(y).T, jnp.float32))  # (D, N)
         w_dev = jnp.asarray(self._weights, jnp.float32)
+
+        co = dict(self.cubic_options)
+        bins = int(co.get('bins', 100))
+        eb = min(int(co.get('edge_bins', 1)), bins // 4)
+        edge_points = int(co.get('edge_points', 10))
+        pack = np.asarray(_knot_stage_device(
+            data_dev, w_dev, bins, eb, edge_points), np.float64)
+        n_q = pack.shape[1] - 2 * edge_points - 2
+        n_fin = int(pack[0, -1])
+        if n_fin < data_dev.shape[1]:
+            raise _NonFiniteLayer(data_dev.shape[1] - n_fin)
+        hs = pack[:, -2] * self.bw_factor
+        knots = []
+        for d in range(D):
+            x0 = np.unique(pack[d, :n_q])
+            if x0.shape[0] < max(4, eb + 2):
+                # collapsed/degenerate dim: rare — fetch just this column
+                col = np.asarray(data_dev[d], np.float64)
+                knots.append({'degenerate': col})
+            else:
+                knots.append({
+                    'x0': x0,
+                    'xe1': pack[d, n_q:n_q + edge_points],
+                    'xe2': pack[d, n_q + edge_points:
+                                n_q + 2 * edge_points]})
         h_dev = jnp.asarray(hs, jnp.float32)
 
         def fun_batch(queries):
@@ -195,12 +290,13 @@ class SIT:
             return [ndtri(cdf[d, :q.size]) if q.size else np.empty(0)
                     for d, q in enumerate(queries)]
 
-        from ..utils.cubic import fit_spline_columns
-        return fit_spline_columns(cols, fun_batch, **self.cubic_options)
+        return fit_spline_columns(None, fun_batch, knots=knots,
+                                  **self.cubic_options)
 
     def _gaussianize_nd(self, y, y_dev=None):
-        device_fit = (kde_on_device()
-                      and np.asarray(y).shape[0] * self.dim >= 100_000)
+        n_rows = (y_dev.shape[0] if y_dev is not None
+                  else np.asarray(y).shape[0])
+        device_fit = kde_on_device() and n_rows * self.dim >= 100_000
         if device_fit:
             splines = self._fit_splines_device(y, y_dev)
         else:
@@ -231,8 +327,9 @@ class SIT:
         if device_fit:
             out_dev = sset.evaluate(y_dev.T if y_dev is not None
                                     else jnp.asarray(y).T).T
-            out = np.asarray(out_dev.astype(jnp.float32), np.float64)
-            return out, out_dev
+            # no host mirror: the next layer's stage-A runs on device too,
+            # and ``fit`` fetches the final data once at the end
+            return None, out_dev
         out = np.asarray(sset.evaluate(np.asarray(y).T)).T
         return out, None
 
@@ -243,36 +340,49 @@ class SIT:
         matrix per layer dominated the fit. Returns ``(y, y_dev, A, B, m)``
         with ``y_dev`` None on the host path."""
         key = self._next_key()
-        x = np.asarray(x)
         if x_dev is None and kde_on_device():
-            x_dev = jnp.asarray(x)
-        if self.m_ica is not None and x.shape[0] > self.m_ica:
-            idx = np.asarray(jax.random.choice(
-                jax.random.fold_in(key, 1), x.shape[0], (self.m_ica,),
-                replace=False))
-            x_fit = x_dev[jnp.asarray(idx)] if x_dev is not None else x[idx]
+            x_dev = jnp.asarray(np.asarray(x))
+        n_rows = x_dev.shape[0] if x_dev is not None else np.asarray(x).shape[0]
+        if self.m_ica is not None and n_rows > self.m_ica:
+            idx = jax.random.choice(
+                jax.random.fold_in(key, 1), n_rows, (self.m_ica,),
+                replace=False)
+            x_fit = (x_dev[idx] if x_dev is not None
+                     else np.asarray(x)[np.asarray(idx)])
         else:
             x_fit = x_dev if x_dev is not None else x
-        components, mean = fast_ica(
+        components_dev, mean_dev = fast_ica(
             x_fit, key, max_iter=self.ica_options.get('max_iter', 100),
             tol=self.ica_options.get('tol', 1e-4))
-        components = np.asarray(components, np.float64)
-        mean = np.asarray(mean, np.float64)
         if x_dev is not None:
-            y_dev = (x_dev - mean) @ components.T
-            s = np.asarray(jnp.std(y_dev, axis=0), np.float64)
-            y_dev = y_dev / s
-            # host mirror rides the slow link in float32 (half the bytes);
-            # it only feeds percentile/bandwidth host logic
-            y = np.asarray(y_dev.astype(jnp.float32), np.float64)
+            D = x_dev.shape[1]
+            y0 = (x_dev - mean_dev) @ components_dev.T
+            s_dev = jnp.std(y0, axis=0)
+            y_dev = y0 / s_dev
+            m_dev = jnp.mean(x_dev, axis=0)
+            # ONE packed fetch for all per-layer host bookkeeping
+            # (components, rotation mean, scale, data mean) — separate
+            # small fetches each pay the full tunnel latency (~0.6 s)
+            dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            pack = np.asarray(jnp.concatenate(
+                [components_dev.astype(dt),
+                 mean_dev.astype(dt)[None],
+                 s_dev.astype(dt)[None],
+                 m_dev.astype(dt)[None]], axis=0), np.float64)
+            components, mean = pack[:D], pack[D]
+            s, m = pack[D + 1], pack[D + 2]
+            y = None
         else:
+            x = np.asarray(x)
+            components = np.asarray(components_dev, np.float64)
+            mean = np.asarray(mean_dev, np.float64)
             y_dev = None
             y = (x - mean) @ components.T
             s = np.std(y, axis=0)
             y = y / s
+            m = np.mean(x, axis=0)
         A = components / s[:, None]
         B = np.linalg.inv(A)
-        m = np.mean(x, axis=0)
         return y, y_dev, A, B, m
 
     def _init_data(self, data, weights):
@@ -322,30 +432,56 @@ class SIT:
         data_dev = None
         for _ in range(n_run):
             try:
+                try:
+                    y, y_dev, A, B, m = self._ica(self._data, data_dev)
+                    data_new, data_dev = self._gaussianize_nd(y, y_dev)
+                except _NonFiniteLayer:
+                    raise
+                except Exception:
+                    warnings.warn(
+                        'the ICA layer failed to converge; retrying once '
+                        'with a fresh random seed.', RuntimeWarning)
+                    y, y_dev, A, B, m = self._ica(self._data, data_dev)
+                    data_new, data_dev = self._gaussianize_nd(y, y_dev)
+            except _NonFiniteLayer:
+                # non-finite rows detected on device (stage A of the
+                # spline fits): drop them — the reference drops such
+                # points with the same warning (``sit.py:334-340``) —
+                # and rerun the layer on the filtered data
+                warnings.warn('inf encountered for some data points. We '
+                              'will remove these inf points for now.',
+                              RuntimeWarning)
+                data_host = (np.asarray(data_dev, np.float64)
+                             if data_dev is not None else self._data)
+                keep = np.isfinite(data_host).all(axis=1)
+                self._data = data_host[keep]
+                self._weights = self._weights[keep]
+                data_dev = None
                 y, y_dev, A, B, m = self._ica(self._data, data_dev)
                 data_new, data_dev = self._gaussianize_nd(y, y_dev)
-            except Exception:
-                warnings.warn(
-                    'the ICA layer failed to converge; retrying once with a '
-                    'fresh random seed.', RuntimeWarning)
-                y, y_dev, A, B, m = self._ica(self._data, data_dev)
-                data_new, data_dev = self._gaussianize_nd(y, y_dev)
-            self._data = data_new
+            if data_new is not None:      # host path keeps a live mirror
+                self._data = data_new
+                finite_index = np.isfinite(self._data).all(axis=1)
+                if np.sum(finite_index) < self._data.shape[0]:
+                    warnings.warn('inf encountered for some data points. '
+                                  'We will remove these inf points for '
+                                  'now.', RuntimeWarning)
+                    data_dev = None
+                    self._data = self._data[finite_index, :]
+                    self._weights = self._weights[finite_index]
             self._A = np.concatenate((self._A, A[np.newaxis]), axis=0)
             self._B = np.concatenate((self._B, B[np.newaxis]), axis=0)
             self._m = np.concatenate((self._m, m[np.newaxis]), axis=0)
             self._logdetA = np.append(
                 self._logdetA, np.log(np.abs(np.linalg.det(A))))
-            finite_index = np.isfinite(self._data).all(axis=1)
-            if np.sum(finite_index) < self._data.shape[0]:
-                warnings.warn('inf encountered for some data points. We will '
-                              'remove these inf points for now.',
-                              RuntimeWarning)
-                data_dev = None  # mirror invalidated; re-upload next layer
-            self._data = self._data[finite_index, :]
-            self._weights = self._weights[finite_index]
             if plot > 0 and not (self.i_iter % plot):
+                if data_new is None:
+                    self._data = np.asarray(data_dev, np.float64)
                 self.triangle_plot()
+        if data_dev is not None:
+            # device-resident layers: ONE final fetch of the gaussianized
+            # data (it only feeds diagnostics and further fit() calls)
+            self._data = np.asarray(data_dev, np.float64)
         if plot < 0:
             self.triangle_plot()
 

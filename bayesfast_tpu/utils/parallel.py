@@ -23,6 +23,22 @@ or ``set_backend(ParallelBackend(n, kind='processes'))`` selects the
 process pool. ``set_backend(ParallelBackend(serial=True))`` restores a
 plain serial map for debugging. An existing ``concurrent.futures`` executor
 can also be passed and is used as-is (not shut down on exit).
+
+**Multi-node external likelihoods** (the reference's dask/ray backends,
+``parallel.py:34-128``, used for its 64-process DES runs): inject any
+``concurrent.futures.Executor`` whose workers live on other nodes —
+
+* dask: ``set_backend(distributed.Client(...).get_executor())`` —
+  ``ClientExecutor`` implements the standard Executor interface;
+* ray: ``set_backend(RayExecutor())`` for any of the community
+  Executor adapters, or wrap ``ray.remote`` calls in a small Executor
+  subclass (submit -> ``.remote``, future -> ``ObjectRef`` wrapper);
+* MPI: ``set_backend(mpi4py.futures.MPIPoolExecutor(...))``.
+
+Everything the framework ships to workers is a module-level callable plus
+numpy arrays (picklable by construction), so any conforming Executor
+works; ``tests/test_utils.py::test_injected_executor_backend`` pins the
+contract with a mock distributed executor.
 """
 
 import atexit
@@ -73,6 +89,15 @@ def _shared_proc_pool(mp_context, width):
     return pool
 
 
+def _is_executor(x):
+    """True for concurrent.futures.Executor subclasses AND duck-typed
+    executors (dask ClientExecutor, ray adapters): submit() + map()."""
+    return (isinstance(x, Executor)
+            or (not isinstance(x, (int, ParallelBackend, tuple,
+                                   type(None)))
+                and hasattr(x, 'submit') and hasattr(x, 'map')))
+
+
 def _auto_workers(n_items, processes=False):
     """Pool size for the default backend: enough workers to overlap every
     pending external call, capped so pathological batch sizes don't spawn
@@ -117,9 +142,11 @@ class ParallelBackend:
             backend = backend._spec
         elif isinstance(backend, tuple) and len(backend) == 2:
             backend, kind = backend
-        if not (backend is None or isinstance(backend, (int, Executor))):
+        if not (backend is None or isinstance(backend, int)
+                or _is_executor(backend)):
             raise ValueError('backend should be None, an int worker count, '
-                             'an Executor, or another ParallelBackend.')
+                             'an Executor (or any object with submit/map), '
+                             'or another ParallelBackend.')
         if isinstance(backend, int) and backend <= 0:
             raise ValueError('worker count should be positive.')
         if kind not in (None, 'threads', 'processes'):
@@ -134,7 +161,7 @@ class ParallelBackend:
     def kind(self):
         if self._serial:
             return 'serial'
-        if isinstance(self._spec, Executor):
+        if _is_executor(self._spec):
             return 'executor'
         return self._kind
 
@@ -153,7 +180,7 @@ class ParallelBackend:
             return None, False
         if self._entered is not None:
             return self._entered, False
-        if isinstance(self._spec, Executor):
+        if _is_executor(self._spec):
             return self._spec, False
         width = self._spec if isinstance(self._spec, int) else \
             _auto_workers(n_items, self._kind == 'processes')
@@ -162,7 +189,7 @@ class ParallelBackend:
 
     def __enter__(self):
         # Pre-open a pool so repeated map() calls inside the block reuse it.
-        if not self._serial and not isinstance(self._spec, Executor):
+        if not self._serial and not _is_executor(self._spec):
             width = self._spec if isinstance(self._spec, int) else \
                 _auto_workers(1 << 30, self._kind == 'processes')
             self._entered = self._make_pool(width)
@@ -181,10 +208,11 @@ class ParallelBackend:
         if pool is None:
             return [fun(*args) for args in jobs]
         try:
-            if self.kind == 'processes' or isinstance(
+            if self.kind in ('processes', 'executor') or isinstance(
                     pool, ProcessPoolExecutor):
-                # process pools need a picklable top-level callable — the
-                # lambda wrapper used for threads would fail to pickle
+                # process pools and injected (possibly remote) executors
+                # need a picklable top-level callable — the lambda wrapper
+                # used for threads would fail to pickle
                 return list(pool.map(fun, *zip(*jobs)))
             return list(pool.map(lambda args: fun(*args), jobs))
         finally:

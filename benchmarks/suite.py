@@ -98,11 +98,20 @@ def _density(name):
     return den, extra
 
 
-def run_gbs_config(name, n_chain, n_iter, n_warmup):
+def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64'):
+    """One evidence anchor. ``dtype='float32'`` is the chip-filling tier
+    (round-4 VERDICT #6): sampling runs in the chip-native dtype on the
+    Pallas megakernel at large chain counts, while the evidence
+    arithmetic (bridge root solve, autocorrelation errors, SIT host
+    bookkeeping) stays float64 on the host as always."""
+    import jax
     import bayesfast_tpu as bf
     from bayesfast_tpu.utils.acor import effective_sample_size, rhat
 
     fiducial, pub_logz, pub_err, ref_its = ANCHORS[name]
+    if dtype == 'float32':
+        import jax.numpy as jnp
+        bf.config.set_dtype(jnp.float32)
     den, extra = _density(name)
     bf.utils.set_generator(sum(map(ord, name)))
 
@@ -131,8 +140,10 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup):
     dt_ev = time.time() - t0
     gbs_profile = getattr(gbs, 'last_profile', None)
 
+    if dtype == 'float32':
+        bf.config.set_dtype(None)
     rec = {
-        'config': name, 'dtype': 'float64', 'n_chain': n_chain,
+        'config': name, 'dtype': dtype, 'n_chain': n_chain,
         'n_iter': n_iter, 'n_warmup': n_warmup,
         'warmup_iters_per_sec': round(n_chain * (n_warmup - 2) / dt_warm, 1),
         'ref_warmup_iters_per_sec': ref_its,
@@ -197,7 +208,9 @@ def render():
         if r['config'] in ANCHORS:
             lines.append(
                 f"| {r['config']} D={ {'banana':32,'funnel':16,'ring':64,'cauchy':48}[r['config']] } "
-                f"x{r['n_chain']} chains | {r['logz']:.3f} ± {r['logz_err']:.3f} "
+                f"x{r['n_chain']} chains"
+                + (' (f32 fill)' if r.get('dtype') == 'float32' else '')
+                + f" | {r['logz']:.3f} ± {r['logz_err']:.3f} "
                 f"({r['sigma_off_fiducial']}σ) | {r['fiducial']} | "
                 f"{r['published'][0]} ± {r['published'][1]} | "
                 f"{r['warmup_iters_per_sec']:.0f} vs {r['ref_warmup_iters_per_sec']:.0f} "
@@ -243,6 +256,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--configs', default='')
     ap.add_argument('--n-chain', type=int, default=64)
+    ap.add_argument('--n-chain-fill', type=int, default=1024)
     ap.add_argument('--n-iter', type=int, default=2500)
     ap.add_argument('--n-warmup', type=int, default=1000)
     ap.add_argument('--render', action='store_true')
@@ -262,9 +276,11 @@ def main():
                 rec = run_donut()
             elif name == 'des':
                 rec = run_des()
-            else:
-                rec = run_gbs_config(name, args.n_chain, args.n_iter,
-                                     args.n_warmup)
+            elif name.endswith('@fill'):
+                # chip-filling tier: float32 sampling at n-chain-fill
+                rec = run_gbs_config(name[:-5], args.n_chain_fill,
+                                     args.n_iter, args.n_warmup,
+                                     dtype='float32')
         except Exception:
             traceback.print_exc()
             print(f'config {name} FAILED; continuing.', flush=True)

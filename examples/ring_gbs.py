@@ -34,8 +34,15 @@ def main():
     }
     rec = bf.Recipe(density=den, sample={'sample_trace': sample_trace},
                     post={'evidence_method': 'GBS'})
+    import time as _time
+    _t0 = _time.time()
     rec.run()
     res = rec.get()
+    try:
+        from _record import record as _rec2
+    except ImportError:
+        from examples._record import record as _rec2
+    _rec2('ring_gbs', -114.492, res, _time.time() - _t0, sample_trace)
     print(f'logz = {res.logz:.4f} +- {res.logz_err:.4f} '
           '(fiducial: -114.492)')
     return res

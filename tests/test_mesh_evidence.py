@@ -95,3 +95,21 @@ def test_two_axis_mesh_sampler_equivalence():
     finally:
         bf.config.set_nuts_kernel('auto')
         set_mesh(None)
+
+
+def test_mesh_pallas_bitwise_matches_single(mesh8):
+    """With the global-chain-indexed kernel RNG, a mesh-sharded Pallas
+    sampling run is bitwise identical to the unsharded Pallas run —
+    the driver dispatches the megakernel through shard_map on the mesh
+    (round-4 VERDICT next-step #2)."""
+    D = 3
+    den = bf.DensityLite(logp=lambda x: -0.5 * jnp.sum(x ** 2),
+                         input_size=D, vectorized=True)
+    cfg = {'n_chain': 16, 'n_iter': 60, 'n_warmup': 30}
+    bf.utils.set_generator(21)
+    tt_m = bf.sample(den, dict(cfg), verbose=False, mesh=mesh8)
+    assert tt_m.trace._nuts_kernel_pinned == 'pallas'
+    bf.utils.set_generator(21)
+    tt_s = bf.sample(den, dict(cfg), verbose=False, mesh=None)
+    assert tt_s.trace._nuts_kernel_pinned == 'pallas'
+    assert np.array_equal(tt_m.samples, tt_s.samples)

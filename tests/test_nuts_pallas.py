@@ -147,3 +147,49 @@ def test_auto_mode_falls_back_on_unloweable_density(_f32, monkeypatch):
     s = tt.get(flatten=True)
     assert np.all(np.isfinite(s))
     assert np.abs(s.mean(0)).max() < 0.2
+
+
+def test_kernel_stream_is_topology_invariant():
+    """The counter RNG is keyed by GLOBAL chain index: running chains
+    [0, C) in one kernel call must equal running [0, C/2) and [C/2, C)
+    in separate calls with the matching chain_start — the property that
+    makes mesh-sharded runs bitwise-equal to single-device runs."""
+    import jax
+    import jax.numpy as jnp
+    from bayesfast_tpu.samplers.nuts_pallas import (
+        nuts_transition_batched_pallas, nuts_chunk_batched_pallas)
+    from bayesfast_tpu.samplers.metrics import init_diag_metric
+
+    C, D = 16, 3
+    metric = init_diag_metric(jnp.zeros(D, jnp.float64),
+                              jnp.ones(D, jnp.float64))
+    lpg1 = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x ** 2))
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (C, D), jnp.float64)
+    eps = jnp.full((C,), 0.45, jnp.float64)
+    key = jax.random.PRNGKey(7)
+
+    q_full, st_full = nuts_transition_batched_pallas(
+        key, q0, metric, eps, lpg1, 10, 1000., interpret=True)
+    h = C // 2
+    q_a, _ = nuts_transition_batched_pallas(
+        key, q0[:h], metric, eps[:h], lpg1, 10, 1000., interpret=True,
+        chain_start=0)
+    q_b, _ = nuts_transition_batched_pallas(
+        key, q0[h:], metric, eps[h:], lpg1, 10, 1000., interpret=True,
+        chain_start=h)
+    assert np.array_equal(np.asarray(q_full),
+                          np.concatenate([np.asarray(q_a),
+                                          np.asarray(q_b)]))
+
+    # same property for the multi-transition chunk kernel
+    qc_full, qlast_full, _ = nuts_chunk_batched_pallas(
+        key, q0, metric, eps, 5, 10, 1000., interpret=True, lpg_1=lpg1)
+    qc_a, _, _ = nuts_chunk_batched_pallas(
+        key, q0[:h], metric, eps[:h], 5, 10, 1000., interpret=True,
+        lpg_1=lpg1, chain_start=0)
+    qc_b, _, _ = nuts_chunk_batched_pallas(
+        key, q0[h:], metric, eps[h:], 5, 10, 1000., interpret=True,
+        lpg_1=lpg1, chain_start=h)
+    assert np.array_equal(np.asarray(qc_full),
+                          np.concatenate([np.asarray(qc_a),
+                                          np.asarray(qc_b)], axis=1))
