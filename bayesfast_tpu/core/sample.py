@@ -554,6 +554,7 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
 
     all_samples, all_stats = [], []
     frozen_extras = None
+    warm_ints = None
     t_start = time.time()
     done = 0
     while done < n_run:
@@ -577,13 +578,25 @@ def sample(density, sample_trace=None, sampler='NUTS', n_run=None,
         # per-transition XLA glue around single-transition dispatches
         # measured 4.2x slower than the raw kernel at banana-32 @1024
         from ..samplers.metrics import DiagMetricState
-        frozen = (use_pallas and not tempered
-                  and not bool(np.any(warmup_flags))
-                  and isinstance(carry.metric, DiagMetricState))
+        diag = isinstance(carry.metric, DiagMetricState)
+        frozen = (use_pallas and not tempered and diag
+                  and not bool(np.any(warmup_flags)))
+        # warmup chunks run the adapting Pallas kernel (dual averaging +
+        # Welford in-kernel) when every transition of the chunk is warmup
+        # and the adaptation is per-chain diag (pooled cross-chain
+        # adaptation needs collectives the kernel cannot do; mesh warmup
+        # stays on the sharded per-transition path)
+        warm = (use_pallas and not tempered and diag
+                and bool(np.all(warmup_flags))
+                and not driver._pooled_metric)
         try:
             if frozen:
                 carry, (samples, (stats, extras)) = driver.run_frozen_chunk(
                     carry, n_step, params, i0=it0)
+            elif warm:
+                carry, (samples, (stats, extras)), warm_ints = \
+                    driver.run_warmup_chunk(carry, n_step, params, i0=it0,
+                                            win_ints=warm_ints)
             else:
                 carry, (samples, (stats, extras)) = driver.run(
                     carry, warmup_flags, params)

@@ -326,6 +326,166 @@ class ChainDriver:
             check_vma=False)
         return fn(key, q, var, eps, params, i0)
 
+    def _sharded_pallas_warmup(self, carry, params, n_steps, i0, wsched,
+                               interp):
+        """Mesh-sharded warmup chunk: adaptation is strictly per-chain (the
+        window schedule is a global host-computed table), so the adapting
+        kernel shards over chains exactly like the frozen chunk — and the
+        global-chain-indexed RNG keeps mesh runs bitwise-equal to
+        single-device runs."""
+        from jax.sharding import PartitionSpec as P
+        from .metrics import DiagMetricState, _Welford
+        from .step_size import StepSizeState
+        from .nuts_pallas import nuts_warmup_chunk_batched_pallas
+        mesh = self._mesh
+        axes = tuple(mesh.axis_names)
+        pc, pr = P(axes), P()
+
+        step = carry.step
+        metric = carry.metric
+        s_leaves = (step.log_step, step.log_bar, step.hbar, step.count,
+                    step.mu)
+        m_leaves = (metric.var, metric.fg.mean, metric.fg.raw,
+                    metric.fg.weight, metric.bg.mean, metric.bg.raw,
+                    metric.bg.weight)
+
+        def local(k, q_l, s_l, m_l, params_l, i0_l, wsched_l):
+            cs = self._flat_shard_index(axes) * q_l.shape[0]
+            zero = q_l[:, 0] * 0
+            step_l = StepSizeState(log_step=s_l[0], log_bar=s_l[1],
+                                   hbar=s_l[2], count=s_l[3], mu=s_l[4],
+                                   accept_sum=zero, accept_count=zero)
+            metric_l = DiagMetricState(
+                var=m_l[0], fg=_Welford(m_l[1], m_l[2], m_l[3]),
+                bg=_Welford(m_l[4], m_l[5], m_l[6]),
+                n_samples=None, prev_update=None, adapt_window=None)
+            return nuts_warmup_chunk_batched_pallas(
+                k, q_l, step_l, metric_l, n_steps,
+                self._max_treedepth, self._max_change,
+                self._target_accept, self._gamma, self._k, self._t_0,
+                self._adapt_step_size, self._adapt_metric, wsched_l,
+                interpret=interp, params=params_l,
+                lpg_pb=self._logp_and_grad, i0=i0_l, chain_start=cs)
+
+        # all kernel outputs are lane-minor (chain axis LAST)
+        names_rows = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
+                      'tree_size', 'accept_sum', 'max_de', 'diverging',
+                      'step_size', 'step_size_bar')
+        names_fin = ('q_final', 'log_step', 'log_bar', 'hbar', 'count',
+                     'var', 'fg_mean', 'fg_raw', 'fg_w',
+                     'bg_mean', 'bg_raw', 'bg_w')
+        out_specs = {}
+        for n in names_rows:
+            out_specs[n] = P(None, None, axes)
+        for n in names_fin:
+            out_specs[n] = P(None, axes)
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pr, pc, (pc,) * 5, (pc,) * 7, pr, pr, pr),
+            out_specs=out_specs, check_vma=False)
+        return fn(carry.key[0], carry.q, s_leaves, m_leaves, params,
+                  i0, wsched)
+
+    def _build_warmup_chunk(self, n_steps):
+        from .metrics import DiagMetricState, _Welford
+        from .step_size import StepSizeState
+        from .nuts import NutsStats
+        from .nuts_pallas import nuts_warmup_chunk_batched_pallas
+
+        def fn(carry, params, i0, wsched, ints_new):
+            interp = jax.default_backend() == 'cpu'
+            if self._mesh is not None:
+                o = self._sharded_pallas_warmup(
+                    carry, params, n_steps, i0, wsched, interp)
+            else:
+                o = nuts_warmup_chunk_batched_pallas(
+                    carry.key[0], carry.q, carry.step, carry.metric,
+                    n_steps, self._max_treedepth, self._max_change,
+                    self._target_accept, self._gamma, self._k, self._t_0,
+                    self._adapt_step_size, self._adapt_metric, wsched,
+                    interpret=interp,
+                    params=params, lpg_pb=self._logp_and_grad, i0=i0)
+            dtype = carry.q.dtype
+            q_chunk = jnp.swapaxes(o['q'], 1, 2)
+            n_prop = jnp.maximum(o['tree_size'][:, 0], 1).astype(dtype)
+            stats = NutsStats(
+                logp=o['logp'][:, 0], energy=o['energy'][:, 0],
+                tree_depth=o['tree_depth'][:, 0],
+                tree_size=o['tree_size'][:, 0],
+                mean_tree_accept=o['accept_sum'][:, 0] / n_prop,
+                energy_change=o['energy_change'][:, 0],
+                max_energy_change=o['max_de'][:, 0],
+                diverging=o['diverging'][:, 0].astype(bool))
+            extras = {'step_size': o['step_size'][:, 0],
+                      'step_size_bar': o['step_size_bar'][:, 0],
+                      'warmup': jnp.ones(o['logp'][:, 0].shape, bool)}
+            step = StepSizeState(
+                log_step=o['log_step'][0], log_bar=o['log_bar'][0],
+                hbar=o['hbar'][0], count=o['count'][0],
+                mu=carry.step.mu,
+                # the post-warmup acceptance diagnostic stays untouched
+                # during warmup (``step_size.update_step_size``)
+                accept_sum=carry.step.accept_sum,
+                accept_count=carry.step.accept_count)
+            C = carry.q.shape[0]
+            metric = DiagMetricState(
+                var=o['var'].T,
+                fg=_Welford(o['fg_mean'].T, o['fg_raw'].T, o['fg_w'][0]),
+                bg=_Welford(o['bg_mean'].T, o['bg_raw'].T, o['bg_w'][0]),
+                n_samples=jnp.broadcast_to(ints_new[0], (C,)),
+                prev_update=jnp.broadcast_to(ints_new[1], (C,)),
+                adapt_window=jnp.broadcast_to(ints_new[2], (C,)))
+            new_carry = ChainCarry(carry.key, o['q_final'].T, step, metric)
+            return new_carry, (q_chunk, (stats, extras))
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def run_warmup_chunk(self, carry, n_steps, params=(), i0=0,
+                         win_ints=None):
+        """Warmup fast path: ``n_steps`` adapting transitions per Pallas
+        kernel call (dual averaging + windowed Welford run in-kernel).
+        ``win_ints`` threads the (n_samples, prev_update, adapt_window)
+        window counters across chunks host-side (they evolve
+        deterministically); pass None to read them from the carry (one
+        tiny fetch). Returns ``(carry, out, win_ints)``."""
+        from .nuts_pallas import _window_schedule
+        import numpy as _np
+        n_steps = int(n_steps)
+        if win_ints is None:
+            def _glob(x):
+                # multi-process meshes shard the per-chain metric leaves;
+                # gather so every process reads the same window counters
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    from jax.experimental import multihost_utils
+                    x = multihost_utils.process_allgather(x, tiled=True)
+                return int(_np.asarray(x).ravel()[0])
+            m = carry.metric
+            win_ints = (_glob(m.n_samples), _glob(m.prev_update),
+                        _glob(m.adapt_window))
+        pieces = []
+        done = 0
+        while done < n_steps:
+            k = min(self._CHUNK_CAP, n_steps - done)
+            wsched, win_ints = _window_schedule(
+                win_ints[0], win_ints[1], win_ints[2], k,
+                self._update_window, self._doubling)
+            key_fn = ('warm', k)
+            fn = self._compiled_chunks.get(key_fn)
+            if fn is None:
+                fn = self._compiled_chunks[key_fn] = \
+                    self._build_warmup_chunk(k)
+            carry, out = fn(carry, params, jnp.asarray(i0 + done,
+                                                      jnp.int32),
+                            jnp.asarray(wsched),
+                            jnp.asarray(win_ints, jnp.int32))
+            pieces.append(out)
+            done += k
+        if len(pieces) == 1:
+            return carry, pieces[0], win_ints
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *pieces)
+        return carry, stacked, win_ints
+
     # transitions per kernel call: bounds the (K, D+8, block)-shaped VMEM
     # output windows (a 200-transition call measured over the v5e scoped
     # limit and failed to compile; 64 leaves ample headroom at D=32)

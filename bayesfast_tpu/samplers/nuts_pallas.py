@@ -46,7 +46,9 @@ from .metrics import DiagMetricState
 from .nuts import NutsStats
 
 __all__ = ['nuts_transition_batched_pallas', 'nuts_chunk_batched_pallas',
-           'make_nuts_pallas', 'make_nuts_pallas_multi']
+           'nuts_warmup_chunk_batched_pallas',
+           'make_nuts_pallas', 'make_nuts_pallas_multi',
+           'make_nuts_pallas_warmup']
 
 
 def _fmix32(x):
@@ -718,6 +720,135 @@ def make_nuts_pallas(lpg_pb, params, D, C, max_treedepth, max_change, dtype,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _window_schedule(n_samples0, prev_update0, adapt_window0, n_steps,
+                     update_window, doubling):
+    """Host-side simulation of the Welford window schedule for a warmup
+    chunk: per-step [do_refresh, do_switch] flags (identical for every
+    chain — the schedule is iteration-counted, ``metrics.py:150-175``),
+    plus the final (n_samples, prev_update, adapt_window) ints."""
+    flags = np.zeros((2, n_steps), np.int32)
+    ns, pu, aw = int(n_samples0), int(prev_update0), int(adapt_window0)
+    for t in range(n_steps):
+        delta = ns - pu
+        flags[0, t] = int(((delta + 1) % update_window) == 0)
+        do_switch = delta >= aw
+        flags[1, t] = int(do_switch)
+        if do_switch:
+            pu = ns
+            aw = aw * 2 if doubling else aw
+        ns += 1
+    return flags, (ns, pu, aw)
+
+
+def _nuts_warmup_kernel(seed_ref, q0_ref, sched_ref, wsched_ref,
+                        ls_ref, lb_ref, hb_ref, ct_ref, mu_ref,
+                        var_ref, fgm_ref, fgr_ref, fgw_ref,
+                        bgm_ref, bgr_ref, bgw_ref,
+                        qo_ref, logp_ref, en_ref, de_ref, depth_ref,
+                        size_ref, asum_ref, mde_ref, div_ref,
+                        sso_ref, ssbo_ref,
+                        qf_ref, lsf_ref, lbf_ref, hbf_ref, ctf_ref,
+                        varf_ref, fgmf_ref, fgrf_ref, fgwf_ref,
+                        bgmf_ref, bgrf_ref, bgwf_ref,
+                        stack_ref, *, lpg_t, K, D, Cb, max_treedepth,
+                        max_change, dtype, target, gamma, k_exp, t_0,
+                        adapt_step, adapt_metric):
+    """K WARMUP transitions in one kernel: the NUTS transition plus the
+    per-transition dual-averaging step-size update (``step_size.py``,
+    Hoffman-Gelman) and windowed diag-Welford metric adaptation
+    (``metrics.py:140-186``, incl. the Stan-style shrinkage refresh) all
+    run in VMEM. The window switch schedule is iteration-counted and
+    data-independent, so it rides in as a host-computed SMEM table."""
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    i0 = seed_ref[0, 1].astype(jnp.uint32)
+    lane_off = (seed_ref[0, 2].astype(jnp.uint32)
+                + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(Cb))
+
+    mu = mu_ref[:]
+
+    def body(t, carry):
+        (q, log_step, log_bar, hbar, count, var,
+         fgm, fgr, fgw, bgm, bgr, bgw) = carry
+        seed_t = seed ^ _fmix32(i0 + t.astype(jnp.uint32)
+                                + jnp.uint32(0x9E3779B9))
+        eps = jnp.exp(log_step)
+        z = _gauss_from_uniforms(seed_t, jnp.int32(-9), 16, (D, Cb),
+                                 lane_off)
+        p0 = z / jnp.sqrt(var)
+
+        def velocity(p):
+            return var * p
+
+        (q_prop, en, logp, de, depth, size, asum, mde, div) = \
+            _transition_core(
+                seed_t, q, p0, eps, sched_ref, stack_ref, lane_off,
+                velocity=velocity, lpg_t=lpg_t, D=D, Cb=Cb,
+                max_treedepth=max_treedepth, max_change=max_change,
+                dtype=dtype)
+        accept = asum / jnp.maximum(size.astype(dtype), 1.0)
+
+        # ---- dual averaging (``step_size.update_step_size``) ----
+        if adapt_step:
+            w = 1.0 / (count + t_0)
+            hbar = (1.0 - w) * hbar + w * (target - accept)
+            log_step = mu - hbar * jnp.sqrt(count) / gamma
+            # count^(-k) via exp/log (Mosaic has no fractional pow)
+            mk = jnp.exp(-k_exp * jnp.log(count))
+            log_bar = mk * log_step + (1.0 - mk) * log_bar
+            count = count + 1.0
+
+        # ---- diag Welford (``metrics._welford_add`` + update) ----
+        if adapt_metric:
+            n_f = fgw + 1.0
+            od = q_prop - fgm
+            fgm = fgm + od / n_f
+            fgr = fgr + od * (q_prop - fgm)
+            fgw = n_f
+            n_b = bgw + 1.0
+            od_b = q_prop - bgm
+            bgm = bgm + od_b / n_b
+            bgr = bgr + od_b * (q_prop - bgm)
+            bgw = n_b
+            do_refresh = wsched_ref[0, t] == 1
+            do_switch = wsched_ref[1, t] == 1
+            var_new = (fgr + 5e-3) / (fgw + 5.0)
+            var = jnp.where(do_refresh, var_new, var)
+            fgm2 = jnp.where(do_switch, bgm, fgm)
+            fgr2 = jnp.where(do_switch, bgr, fgr)
+            fgw2 = jnp.where(do_switch, bgw, fgw)
+            zero_v = q * 0
+            zero_s = log_step * 0
+            bgm = jnp.where(do_switch, zero_v, bgm)
+            bgr = jnp.where(do_switch, zero_v, bgr)
+            bgw = jnp.where(do_switch, zero_s, bgw)
+            fgm, fgr, fgw = fgm2, fgr2, fgw2
+
+        qo_ref[t] = q_prop
+        logp_ref[t] = logp
+        en_ref[t] = en
+        de_ref[t] = de
+        depth_ref[t] = depth
+        size_ref[t] = size
+        asum_ref[t] = asum
+        mde_ref[t] = mde
+        div_ref[t] = div
+        # recorded AFTER the update, as in the scan path / reference
+        # (``base_hmc.py:80-84``)
+        sso_ref[t] = jnp.exp(log_step)
+        ssbo_ref[t] = jnp.exp(log_bar)
+        return (q_prop, log_step, log_bar, hbar, count, var,
+                fgm, fgr, fgw, bgm, bgr, bgw)
+
+    init = (q0_ref[:], ls_ref[:], lb_ref[:], hb_ref[:], ct_ref[:],
+            var_ref[:], fgm_ref[:], fgr_ref[:], fgw_ref[:],
+            bgm_ref[:], bgr_ref[:], bgw_ref[:])
+    out = jax.lax.fori_loop(0, K, body, init)
+    (qf_ref[:], lsf_ref[:], lbf_ref[:], hbf_ref[:], ctf_ref[:],
+     varf_ref[:], fgmf_ref[:], fgrf_ref[:], fgwf_ref[:],
+     bgmf_ref[:], bgrf_ref[:], bgwf_ref[:]) = out
+
+
 def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
                            max_change, dtype, block=None, interpret=False):
     """Build the jittable K-transition chunk kernel (post-warmup fast path).
@@ -832,6 +963,200 @@ def make_nuts_pallas_multi(lpg_pb, params, D, C, K, max_treedepth,
         return dict(zip(names, outs))
 
     return run
+
+
+def make_nuts_pallas_warmup(lpg_pb, params, D, C, K, max_treedepth,
+                            max_change, dtype, wsched, target, gamma,
+                            k_exp, t_0, adapt_step, adapt_metric,
+                            block=None, interpret=False):
+    """Build the jittable K-transition WARMUP chunk kernel (in-kernel
+    dual averaging + windowed diag-Welford adaptation). ``wsched`` is the
+    host-precomputed (2, K) window schedule from ``_window_schedule``."""
+    if block is None:
+        block = _block_for(C, D)
+    if C % block:
+        raise ValueError(f'n_chain {C} not divisible by block {block}.')
+    grid = (C // block,)
+    K = int(K)
+
+    (cj, const_vals, const_meta, _param_meta, _param_packed,
+     n_params) = _trace_density(lpg_pb, params, D, block, dtype)
+    n_consts = len(const_vals)
+    N_IN = 16   # seed, q0, sched, wsched, 5 step leaves, 7 metric leaves
+
+    def kernel(*refs):
+        const_refs = refs[N_IN:N_IN + n_consts]
+        param_refs = refs[N_IN + n_consts:N_IN + n_consts + n_params]
+        cvals = [_unpack_const(r, s, b)
+                 for r, (s, b) in zip(const_refs, const_meta)]
+
+        def lpg_t(q_t):
+            pvals = [_unpack_const(r, s, b)
+                     for r, (s, b) in zip(param_refs, _param_meta)]
+            logp, grad = jax.core.eval_jaxpr(
+                cj.jaxpr, cvals, *pvals, q_t)
+            return logp[None, :], grad
+
+        rest = refs[N_IN + n_consts + n_params:]
+        _nuts_warmup_kernel(
+            *refs[:N_IN], *rest,
+            lpg_t=lpg_t, K=K, D=D, Cb=block,
+            max_treedepth=int(max_treedepth),
+            max_change=float(max_change), dtype=dtype,
+            target=float(target), gamma=float(gamma),
+            k_exp=float(k_exp), t_0=float(t_0),
+            adapt_step=bool(adapt_step), adapt_metric=bool(adapt_metric))
+
+    vec_spec = pl.BlockSpec((D, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    sca_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    kvec_spec = pl.BlockSpec((K, D, block), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    ksca_spec = pl.BlockSpec((K, 1, block), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    def _zero_map(nd):
+        return lambda i: (0,) * nd
+
+    def _const_spec(v, orig_shape):
+        space = pltpu.SMEM if orig_shape == () else pltpu.VMEM
+        return pl.BlockSpec(v.shape, _zero_map(v.ndim), memory_space=space)
+
+    const_specs = [_const_spec(v, m[0])
+                   for v, m in zip(const_vals, const_meta)]
+    _param_specs = [_const_spec(pk, m[0])
+                    for pk, m in zip(_param_packed, _param_meta)]
+
+    sched = _schedule_table(int(max_treedepth))
+    sched_spec = pl.BlockSpec(sched.shape, lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    wsched_spec = pl.BlockSpec(wsched.shape, lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+
+    def run(seed, i0, chain_start, q0_t, step_leaves, metric_leaves,
+            flat_p, wsched_arr):
+        packed_p = [_pack_const(l)[0] for l in flat_p]
+        ls, lb, hb, ct, mu = step_leaves
+        var_t, fgm, fgr, fgw, bgm, bgr, bgw = metric_leaves
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                seed_spec, vec_spec, sched_spec, wsched_spec,
+                sca_spec, sca_spec, sca_spec, sca_spec, sca_spec,
+                vec_spec, vec_spec, vec_spec, sca_spec,
+                vec_spec, vec_spec, sca_spec,
+                *const_specs, *_param_specs,
+            ],
+            out_specs=(
+                kvec_spec, *([ksca_spec] * 10),
+                vec_spec, sca_spec, sca_spec, sca_spec, sca_spec,
+                vec_spec, vec_spec, vec_spec, sca_spec,
+                vec_spec, vec_spec, sca_spec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((K, D, C), dtype),      # q rows
+                *[jax.ShapeDtypeStruct((K, 1, C), dtype)
+                  for _ in range(3)],                        # logp, en, de
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # depth
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # size
+                *[jax.ShapeDtypeStruct((K, 1, C), dtype)
+                  for _ in range(2)],                        # asum, mde
+                jax.ShapeDtypeStruct((K, 1, C), jnp.int32),  # div
+                *[jax.ShapeDtypeStruct((K, 1, C), dtype)
+                  for _ in range(2)],                        # ss, ssb
+                jax.ShapeDtypeStruct((D, C), dtype),         # q_final
+                *[jax.ShapeDtypeStruct((1, C), dtype)
+                  for _ in range(4)],                        # ls lb hb ct
+                jax.ShapeDtypeStruct((D, C), dtype),         # var
+                jax.ShapeDtypeStruct((D, C), dtype),         # fgm
+                jax.ShapeDtypeStruct((D, C), dtype),         # fgr
+                jax.ShapeDtypeStruct((1, C), dtype),         # fgw
+                jax.ShapeDtypeStruct((D, C), dtype),         # bgm
+                jax.ShapeDtypeStruct((D, C), dtype),         # bgr
+                jax.ShapeDtypeStruct((1, C), dtype),         # bgw
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max(int(max_treedepth) - 1, 1) + 1,
+                            4 * D + 3, block), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(
+                    16 * 2 ** 20,
+                    int(_lane_bytes(D) * block * 1.6)
+                    + K * (D + 10) * block * 4)),
+            interpret=interpret,
+        )(jnp.stack([jnp.asarray(seed, jnp.int32),
+                     jnp.asarray(i0, jnp.int32),
+                     jnp.asarray(chain_start, jnp.int32)]).reshape(1, 3),
+          q0_t, jnp.asarray(sched), jnp.asarray(wsched_arr, jnp.int32),
+          ls, lb, hb, ct, mu, var_t, fgm, fgr, fgw, bgm, bgr, bgw,
+          *const_vals, *packed_p)
+        names = ('q', 'logp', 'energy', 'energy_change', 'tree_depth',
+                 'tree_size', 'accept_sum', 'max_de', 'diverging',
+                 'step_size', 'step_size_bar',
+                 'q_final', 'log_step', 'log_bar', 'hbar', 'count',
+                 'var', 'fg_mean', 'fg_raw', 'fg_w',
+                 'bg_mean', 'bg_raw', 'bg_w')
+        return dict(zip(names, outs))
+
+    return run
+
+
+def nuts_warmup_chunk_batched_pallas(key, q0, step_state, metric, n_steps,
+                                     max_treedepth, max_change, target,
+                                     gamma, k_exp, t_0, adapt_step,
+                                     adapt_metric, wsched,
+                                     interpret=False, block=None,
+                                     params=None, lpg_pb=None, i0=0,
+                                     chain_start=0):
+    """Run ``n_steps`` WARMUP transitions (with live step-size + metric
+    adaptation) in one kernel. Same (key, global-iteration) RNG contract
+    as the frozen chunk. ``step_state`` is the per-chain
+    ``StepSizeState``; ``metric`` a per-chain ``DiagMetricState``;
+    ``wsched`` the (2, n_steps) window schedule from
+    ``_window_schedule`` (a runtime input — it changes per chunk).
+    Returns the kernel's output dict (transition rows + final states)."""
+    if not isinstance(metric, DiagMetricState):
+        raise ValueError('the Pallas warmup path supports the diagonal '
+                         'metric only.')
+    C, D = q0.shape
+    dtype = q0.dtype
+
+    def _row(a):    # (C,) or scalar -> (1, C)
+        a = jnp.asarray(a, dtype)
+        if a.ndim == 0:
+            a = jnp.broadcast_to(a, (C,))
+        return a.reshape(1, C)
+
+    def _mat(a):    # (C, D) or (D,) -> (D, C)
+        a = jnp.asarray(a, dtype)
+        if a.ndim == 2:
+            return a.T
+        return jnp.broadcast_to(a[:, None], (D, C))
+
+    step_leaves = (_row(step_state.log_step), _row(step_state.log_bar),
+                   _row(step_state.hbar), _row(step_state.count),
+                   _row(step_state.mu))
+    metric_leaves = (_mat(metric.var),
+                     _mat(metric.fg.mean), _mat(metric.fg.raw),
+                     _row(metric.fg.weight),
+                     _mat(metric.bg.mean), _mat(metric.bg.raw),
+                     _row(metric.bg.weight))
+
+    seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1),
+                              dtype=jnp.int32)
+    if lpg_pb is None:
+        raise ValueError('lpg_pb is required.')
+    run = make_nuts_pallas_warmup(
+        lpg_pb, params, D, C, n_steps, max_treedepth, max_change, dtype,
+        wsched, target, gamma, k_exp, t_0, adapt_step, adapt_metric,
+        block=block, interpret=interpret)
+    return run(seed, i0, chain_start, q0.T, step_leaves, metric_leaves,
+               jax.tree.leaves(params), wsched)
 
 
 def nuts_chunk_batched_pallas(key, q0, metric, step_size, n_steps,

@@ -490,8 +490,14 @@ class SIT:
     # rows per device pass: keeps the evidence phase (millions of proposal
     # points through 10+ flow layers) memory-bounded on a single chip and
     # each device program short (large float64 flow programs measured
-    # unstable through the remote-TPU tunnel)
-    _chunk_rows = 1 << 16
+    # unstable through the remote-TPU tunnel). Byte-budgeted: each pass
+    # pays a fixed host<->device round-trip (~1 s over a tunnel), so
+    # low-dimensional flows take correspondingly more rows per pass.
+    _chunk_bytes = 1 << 25
+
+    @property
+    def _chunk_rows(self):
+        return max(1 << 16, self._chunk_bytes // (8 * max(self.dim, 1)))
 
     def _stacked(self):
         """Stack every layer's padded spline set + rotation into (L, ...)

@@ -48,7 +48,9 @@ def _density(name):
         D, Q = 32, 0.01
         bound = np.stack((np.full(D, -15.), np.full(D, 15.))).T
         const = float(D * np.log(30.))
-        A = jnp.asarray(special_ortho_group.rvs(D, random_state=0))
+        # captured in the ACTIVE framework dtype: under x64 a float64
+        # rotation would silently promote the float32 fill-tier sampling
+        A = bf.config.asarray(special_ortho_group.rvs(D, random_state=0))
 
         def logp(x):
             z = x @ A.T
@@ -281,6 +283,9 @@ def main():
                 rec = run_gbs_config(name[:-5], args.n_chain_fill,
                                      args.n_iter, args.n_warmup,
                                      dtype='float32')
+            else:
+                rec = run_gbs_config(name, args.n_chain, args.n_iter,
+                                     args.n_warmup)
         except Exception:
             traceback.print_exc()
             print(f'config {name} FAILED; continuing.', flush=True)
