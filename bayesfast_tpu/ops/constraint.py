@@ -151,37 +151,40 @@ def to_original_grad2(x, scales, bounds):
     return g * width
 
 
+# exp-argument clamp for the fused transform: e^85 = 8.2e36 stays below
+# float32 max (no inf -> no 0*inf NaN under arithmetic masking) and
+# 1/(1+e^85) = 1.17e-37 stays above the float32 denormal-flush threshold
+# (TPUs flush denormals to zero). Beyond the clamp the two-sided branch
+# saturates (the float32 unfused path saturated there too); the one-sided
+# logdet stays EXACT at any x because log|exp(x)| == x analytically.
+_FUSED_CLAMP = 85.0
+
+
 def _fused_core(x, lo, width, m_lohi, m_lo, m_hi):
     """Shared primal math for the fused transform and its JVP.
 
-    One exp: the argument is branch-selected BEFORE the exp (``-x`` for
-    the two-sided logistic branch, ``x`` for the one-sided log branches,
-    ``0`` for unbounded dims), so an unbounded dim can never see an
-    overflowed exp — with arithmetic masking, ``exp(x)`` overflows to
-    inf at x > ~88.7 in float32 and ``0 * inf`` NaN-poisoned the whole
-    point (round-4 advisor finding). Branch combination is by
-    ``jnp.where`` select, which does not propagate inf/nan from the
-    unselected branch.
+    Branch combination is ARITHMETIC masking (mul-add over the 0/1 mask
+    operands), not ``jnp.where``: a select-based formulation measured
+    1.6x slower per leapfrog inside the Pallas NUTS megakernel (Mosaic
+    compare+select chains cost far more than fused multiply-adds).
+    NaN-safety without selects comes from clamping the exp argument
+    (see ``_FUSED_CLAMP``): ``exp`` then never overflows, so masked-out
+    branches multiply finite garbage by 0.0 instead of ``0 * inf``
+    (the round-4 advisor finding).
     """
-    is_lohi = m_lohi > 0.5
-    is_lo = m_lo > 0.5
-    is_hi = m_hi > 0.5
-    one_sided = is_lo | is_hi
-    u = jnp.where(is_lohi, -x, jnp.where(one_sided, x, 0.0))
-    e = jnp.exp(u)
-    s = 1.0 / (1.0 + e)          # sigmoid(x) where is_lohi
-    t = jnp.where(is_lohi, s,
-                  jnp.where(is_lo, e,
-                            jnp.where(is_hi, 1.0 - e, x)))
+    m_none = 1.0 - m_lohi - m_lo - m_hi
+    xc = jnp.clip(x, -_FUSED_CLAMP, _FUSED_CLAMP)
+    em = jnp.exp(-xc)            # in [e^-85, e^85]: never inf or 0
+    ep = 1.0 / em
+    s = 1.0 / (1.0 + em)         # sigmoid(xc), >= 1.17e-37
+    t = m_lohi * s + m_lo * ep + m_hi * (1.0 - ep) + m_none * x
     x_o = lo + t * width
-    # |g| per branch: lohi s(1-s); lo/hi exp(x); none 1 — times |width|
-    gmag = jnp.where(is_lohi, s * (1.0 - s),
-                     jnp.where(one_sided, e, 1.0)) * jnp.abs(width)
-    return e, s, x_o, gmag, is_lohi, is_lo, is_hi, one_sided
+    s1s = s * (1.0 - s)
+    return em, ep, s, s1s, x_o, m_none
 
 
 @jax.custom_jvp
-def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
+def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi, logw):
     """(to_original(x), sum log|d to_original/dx|) with ONE exp + ONE log.
 
     The straightforward composition ``logp(to_original(x)) +
@@ -189,30 +192,33 @@ def _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi):
     (forward sigmoid, the grad's sigmoid, and their autodiff replays) —
     measured as 75% of the whole in-kernel leapfrog cost in the Pallas
     NUTS megakernel, where Mosaic's transcendentals are much slower than
-    XLA's. Here the exponential is evaluated once on a branch-selected
-    argument, the per-element derivative magnitudes combine into a
-    single log, and the custom JVP below keeps the tangent map purely
-    rational.
+    XLA's. Here the exponential is evaluated once on a clamped argument,
+    the only per-element log sees the two-sided branch's s(1-s) (masked
+    to 1 elsewhere), the one-sided branches contribute their logdet
+    EXACTLY as ``x`` (log(exp(x)) == x analytically — no transcendental,
+    no overflow at any x), ``logw`` carries the constant
+    sum-of-log|width| over bounded dims folded at trace time, and the
+    custom JVP below keeps the tangent map purely rational.
     """
-    _, _, x_o, gmag, *_ = _fused_core(x, lo, width, m_lohi, m_lo, m_hi)
-    logdet = jnp.sum(jnp.log(gmag), axis=-1)
+    em, ep, s, s1s, x_o, m_none = _fused_core(x, lo, width,
+                                              m_lohi, m_lo, m_hi)
+    arg = m_lohi * s1s + (1.0 - m_lohi)
+    logdet = jnp.sum(jnp.log(arg) + (m_lo + m_hi) * x, axis=-1) + logw
     return x_o, logdet
 
 
 @_fused_to_original.defjvp
 def _fused_to_original_jvp(primals, tangents):
-    x, lo, width, m_lohi, m_lo, m_hi = primals
+    x, lo, width, m_lohi, m_lo, m_hi, logw = primals
     dx = tangents[0]
-    e, s, x_o, gmag, is_lohi, is_lo, is_hi, one_sided = _fused_core(
-        x, lo, width, m_lohi, m_lo, m_hi)
-    logdet = jnp.sum(jnp.log(gmag), axis=-1)
+    em, ep, s, s1s, x_o, m_none = _fused_core(x, lo, width,
+                                              m_lohi, m_lo, m_hi)
+    arg = m_lohi * s1s + (1.0 - m_lohi)
+    logdet = jnp.sum(jnp.log(arg) + (m_lo + m_hi) * x, axis=-1) + logw
     # dt/dx per branch: lohi s(1-s); lo exp(x); hi -exp(x); none 1
-    g = jnp.where(is_lohi, s * (1.0 - s),
-                  jnp.where(is_lo, e,
-                            jnp.where(is_hi, -e, 1.0))) * width
+    g = (m_lohi * s1s + (m_lo - m_hi) * ep + m_none) * width
     # dlog|g|/dx per branch: lohi (1-2s); lo 1; hi 1; none 0
-    h = jnp.where(is_lohi, 1.0 - 2.0 * s,
-                  jnp.where(one_sided, 1.0, 0.0))
+    h = m_lohi * (1.0 - 2.0 * s) + m_lo + m_hi
     dx_o = g * dx
     dlogdet = jnp.sum(h * dx, axis=-1)
     return (x_o, logdet), (dx_o, dlogdet)
@@ -332,4 +338,11 @@ def to_original_with_logdet(x, scales, bounds):
     m_lohi = (has_lo & has_hi).astype(dtype)
     m_lo = (has_lo & ~has_hi).astype(dtype)
     m_hi = (~has_lo & has_hi).astype(dtype)
-    return _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi)
+    # constant part of the logdet: every branch's |g| carries a factor
+    # |width| (the unbounded branch is an affine rescale), so the sum of
+    # log|width| over ALL dims folds to one scalar at trace time
+    # (scales/bounds are host numpy)
+    w_np = scales[:, 1] - scales[:, 0]
+    logw = float(np.sum(np.log(np.abs(w_np))))
+    return _fused_to_original(x, lo, width, m_lohi, m_lo, m_hi,
+                              jnp.asarray(logw, dtype))

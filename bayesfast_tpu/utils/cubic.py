@@ -454,8 +454,9 @@ class CubicSplineSet:
     """A batch of fitted 1-d splines (one per dimension) with padded storage
     for single-kernel evaluation. Inputs/outputs have shape (D, n_points)."""
 
-    def __init__(self, splines, pad_to=None):
+    def __init__(self, splines, pad_to=None, dtype=None):
         self.splines = list(splines)
+        self._dtype = dtype
         D = len(self.splines)
         m = np.array([s._n for s in self.splines], np.int32)
         if pad_to is None:
@@ -478,17 +479,19 @@ class CubicSplineSet:
             xs[d, :s._n] = s._x
             ys[d, :s._n] = s._y
             cs[d, :s._n + 1] = s._c
-        self.xs = jnp.asarray(xs)
-        self.ys = jnp.asarray(ys)
-        self.cs = jnp.asarray(cs)
+        self.xs = jnp.asarray(xs, dtype)
+        self.ys = jnp.asarray(ys, dtype)
+        self.cs = jnp.asarray(cs, dtype)
         self.m = jnp.asarray(m)
 
     def evaluate(self, xp):
-        return _set_evaluate(self.xs, self.cs, self.m, jnp.asarray(xp))
+        return _set_evaluate(self.xs, self.cs, self.m,
+                             jnp.asarray(xp, self.xs.dtype))
 
     def derivative(self, xp):
-        return _set_derivative(self.xs, self.cs, self.m, jnp.asarray(xp))
+        return _set_derivative(self.xs, self.cs, self.m,
+                               jnp.asarray(xp, self.xs.dtype))
 
     def solve(self, yp):
         return _set_solve(self.xs, self.ys, self.cs, self.m,
-                          jnp.asarray(yp))
+                          jnp.asarray(yp, self.xs.dtype))

@@ -158,6 +158,35 @@ def main():
     us_per_lf_p = wall_p / mean_lf_p * 1e6
     ratio_p = us_per_lf_p / floor_us
 
+    # ---- multi-transition chunk kernel (the driver's actual post path):
+    # 64 frozen transitions per pallas_call, momentum refresh in-kernel ----
+    from bayesfast_tpu.samplers.nuts_pallas import nuts_chunk_batched_pallas
+    K = int(os.environ.get('BENCH_CHUNK', 64))
+    n_chunks = max(1, n_iter // K)
+
+    @jax.jit
+    def run_ck(key, q):
+        def body(q, i):
+            _, q_last, st = nuts_chunk_batched_pallas(
+                key, q, metric, step, K, 10, 1000.,
+                lpg_pb=lpg, params=(), i0=i * K)
+            return q_last, (st.tree_size, st.tree_depth, st.diverging)
+        q, (sizes, depths, div) = jax.lax.scan(
+            body, q, jnp.arange(n_chunks))
+        return (q, sizes.reshape(-1, C), depths.reshape(-1, C),
+                div.reshape(-1, C))
+
+    q_c, sizes_c, depths_c, div_c = run_ck(key, q_eq)
+    sync(q_c)  # compile
+    t0 = time.time()
+    q_c, sizes_c, depths_c, div_c = run_ck(key, q_eq)
+    sync(q_c)
+    wall_c = time.time() - t0
+    mean_lf_c = float(jnp.sum(jnp.mean(sizes_c.astype(jnp.float32),
+                                       axis=1)))
+    us_per_lf_c = wall_c / mean_lf_c * 1e6
+    ratio_c = us_per_lf_c / floor_us
+
     # speed-of-light estimates for the floor: each leapfrog reads/writes the
     # state pytree (~8 (D, C) f32 arrays touched) and runs the (C, D) x
     # (D, D) rotation matmul twice (value + grad)
@@ -174,6 +203,14 @@ def main():
         'pallas_us_per_leapfrog_eq': round(us_per_lf_p, 2),
         'pallas_overhead_ratio': round(ratio_p, 2),
         'pallas_speedup_vs_xla': round(us_per_lf_eq / us_per_lf_p, 2),
+        'chunk_us_per_leapfrog_eq': round(us_per_lf_c, 2),
+        'chunk_overhead_ratio': round(ratio_c, 2),
+        'chunk_speedup_vs_xla': round(us_per_lf_eq / us_per_lf_c, 2),
+        'chunk_size': K,
+        'chunk_mean_tree_size': round(float(jnp.mean(sizes_c.astype(
+            jnp.float32))), 1),
+        'chunk_diverging_frac': round(float(jnp.mean(div_c.astype(
+            jnp.float32))), 4),
         'mean_tree_depth': round(float(jnp.mean(depths.astype(
             jnp.float32))), 2),
         'mean_tree_size': round(float(jnp.mean(sizes.astype(

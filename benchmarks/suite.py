@@ -100,12 +100,23 @@ def _density(name):
     return den, extra
 
 
-def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64'):
+def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64',
+                   mixed_warmup=False):
     """One evidence anchor. ``dtype='float32'`` is the chip-filling tier
     (round-4 VERDICT #6): sampling runs in the chip-native dtype on the
     Pallas megakernel at large chain counts, while the evidence
     arithmetic (bridge root solve, autocorrelation errors, SIT host
-    bookkeeping) stays float64 on the host as always."""
+    bookkeeping) stays float64 on the host as always.
+
+    ``mixed_warmup=True`` (float64 only) runs the ADAPTIVE warmup in
+    float32 on the Pallas megakernel (adaptation only tunes step size and
+    metric — statistically precision-insensitive), then warm-starts the
+    float64 posterior phase from the adapted step size, metric and final
+    positions (``_get_step_size``/``_get_metric``, the reference's own
+    warm-start mechanism) with a short float64 re-adapt window. Posterior
+    samples and the evidence arithmetic are full float64; only the
+    discarded tuning iterations run in the chip-native dtype. Warmup
+    throughput counts BOTH the f32 warmup and the f64 re-adapt window."""
     import jax
     import bayesfast_tpu as bf
     from bayesfast_tpu.utils.acor import effective_sample_size, rhat
@@ -117,20 +128,60 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64'):
     den, extra = _density(name)
     bf.utils.set_generator(sum(map(ord, name)))
 
-    trace = bf.NTrace(n_chain=n_chain, n_iter=n_iter, n_warmup=n_warmup,
-                      **extra)
-    # warm pass: compile + descent + probe (excluded from throughput)
-    tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
-    t0 = time.time()
-    # moderate scan chunks: minutes-long single device programs are
-    # unstable through the remote-TPU tunnel
-    tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
-                   n_update=100)
-    dt_warm = time.time() - t0
-    t0 = time.time()
-    tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
-                   n_update=100)
-    dt_post = time.time() - t0
+    if mixed_warmup:
+        import jax.numpy as jnp
+        from bayesfast_tpu.samplers.sample_trace import (_get_step_size,
+                                                         _get_metric)
+        assert dtype == 'float64'
+        n_readapt = 100
+        # ---- float32 adaptive warmup on the megakernel ----
+        bf.config.set_dtype(jnp.float32)
+        den32, extra32 = _density(name)
+        trace32 = bf.NTrace(n_chain=n_chain, n_iter=n_warmup + 2,
+                            n_warmup=n_warmup, **extra32)
+        tt32 = bf.sample(den32, trace32, n_run=2, verbose=False, n_update=2)
+        t0 = time.time()
+        tt32 = bf.sample(den32, tt32, n_run=n_warmup - 2, verbose=False,
+                         n_update=100)
+        dt_warm = time.time() - t0
+        tt32 = bf.sample(den32, tt32, n_run=2, verbose=False)
+        step = _get_step_size(tt32)
+        metric = _get_metric(tt32, 'diag', from_samples=False)
+        x_last = tt32.get(original_space=True, flatten=False)[:, -1, :]
+        n_call32 = int(tt32.n_call)
+        bf.config.set_dtype(None)
+        # ---- float64 posterior phase, warm-started ----
+        trace = bf.NTrace(n_chain=n_chain,
+                          n_iter=(n_iter - n_warmup) + n_readapt,
+                          n_warmup=n_readapt, x_0=np.asarray(x_last,
+                                                             np.float64),
+                          step_size=step, metric=metric, **extra)
+        tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
+        t0 = time.time()
+        tt = bf.sample(den, tt, n_run=n_readapt - 2, verbose=False,
+                       n_update=100)
+        dt_warm += time.time() - t0
+        n_warmup_eff = (n_warmup - 2) + (n_readapt - 2)
+        t0 = time.time()
+        tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
+                       n_update=100)
+        dt_post = time.time() - t0
+    else:
+        trace = bf.NTrace(n_chain=n_chain, n_iter=n_iter,
+                          n_warmup=n_warmup, **extra)
+        # warm pass: compile + descent + probe (excluded from throughput)
+        tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
+        t0 = time.time()
+        # moderate scan chunks: minutes-long single device programs are
+        # unstable through the remote-TPU tunnel
+        tt = bf.sample(den, tt, n_run=n_warmup - 2, verbose=False,
+                       n_update=100)
+        dt_warm = time.time() - t0
+        n_warmup_eff = n_warmup - 2
+        t0 = time.time()
+        tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
+                       n_update=100)
+        dt_post = time.time() - t0
 
     s = tt.get(flatten=False)
     ess = float(np.sum(effective_sample_size(s)) / s.shape[-1])
@@ -147,10 +198,10 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64'):
     rec = {
         'config': name, 'dtype': dtype, 'n_chain': n_chain,
         'n_iter': n_iter, 'n_warmup': n_warmup,
-        'warmup_iters_per_sec': round(n_chain * (n_warmup - 2) / dt_warm, 1),
+        'warmup_iters_per_sec': round(n_chain * n_warmup_eff / dt_warm, 1),
         'ref_warmup_iters_per_sec': ref_its,
         'speedup_vs_ref': round(
-            n_chain * (n_warmup - 2) / dt_warm / ref_its, 1),
+            n_chain * n_warmup_eff / dt_warm / ref_its, 1),
         'ess_per_sec_per_chip': round(ess / dt_post, 1),
         'rhat_max': round(r, 4),
         'logz': round(float(logz), 4), 'logz_err': round(float(err), 4),
@@ -160,8 +211,10 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64'):
         'gbs_wall_s': round(dt_ev, 1),
         'gbs_profile': gbs_profile,
         'sample_wall_s': round(dt_warm + dt_post, 1),
-        'n_call': int(tt.n_call),
+        'n_call': int(tt.n_call) + (n_call32 if mixed_warmup else 0),
     }
+    if mixed_warmup:
+        rec['mixed_warmup'] = True
     return rec
 
 
@@ -283,6 +336,10 @@ def main():
                 rec = run_gbs_config(name[:-5], args.n_chain_fill,
                                      args.n_iter, args.n_warmup,
                                      dtype='float32')
+            elif name.endswith('@mixed'):
+                # f32 megakernel warmup + warm-started f64 posterior
+                rec = run_gbs_config(name[:-6], args.n_chain, args.n_iter,
+                                     args.n_warmup, mixed_warmup=True)
             else:
                 rec = run_gbs_config(name, args.n_chain, args.n_iter,
                                      args.n_warmup)
