@@ -534,13 +534,15 @@ def _lane_bytes(D):
 def _block_for(C, D):
     """Lane-block width: multiples of 128 lanes, capped by a VMEM budget.
 
-    256 lanes measured fastest at D=32 (512 compiles under a raised
-    scoped limit — v5e accepts well beyond the 16 MB default — but gains
-    nothing; per-op costs are not lane-bound there). Wider blocks remain
+    128 lanes measured fastest at D=32 (43.4 vs 47.7/48.1 us per
+    leapfrog-equivalent for 256/512 at 2048 chains): a block retires
+    with its SLOWEST lane's tree, so narrower blocks waste fewer
+    iterations on block-synchronous retirement, and at the VPU-native
+    128-lane tile the per-op cost does not grow. Wider blocks remain
     available for shapes that need them.
     """
     budget = 56 * 2 ** 20
-    for b in (256, 512, 128):
+    for b in (128, 256, 512):
         if C % b == 0 and _lane_bytes(D) * b <= budget:
             return b
     # small/odd chain counts: single block

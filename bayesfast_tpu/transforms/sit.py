@@ -91,8 +91,7 @@ def _flow_backward(xs, ys, cs, m, B, mu, y):
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _knot_stage_device(y_T, w, bins, eb, edge_points):
+def _knot_stage_impl(y_T, w, bins, eb, edge_points):
     """Device stage A of the per-dim spline fits: percentile knots,
     edge-regression offsets, weighted KDE bandwidths, and the finite-row
     count — ONE small packed fetch replaces the 12 MB host data mirror,
@@ -154,6 +153,37 @@ def _knot_stage_device(y_T, w, bins, eb, edge_points):
     return jnp.concatenate(
         [x0, xe1, xe2, h[:, None],
          jnp.broadcast_to(n_fin, (D,))[:, None]], axis=1)
+
+
+_knot_stage_device = partial(jax.jit, static_argnums=(2, 3, 4))(
+    _knot_stage_impl)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _ica_knot_fused(x_dev, components_dev, mean_dev, w, bins, eb,
+                    edge_points):
+    """Post-ICA rotation bookkeeping + stage-A knot work as ONE device
+    program with ONE flattened output for a single host fetch.
+
+    Over a remote-TPU tunnel every blocking fetch costs ~1 s (round trip
+    plus draining the queued async work), and the per-layer ICA pack and
+    knot pack were two separate fetches — fusing them measured ~2x on
+    the whole SIT fit wall. Returns ``(y_dev, flat)`` with ``flat`` =
+    [components | mean | scale | data-mean | knot-pack], all float32.
+    """
+    y0 = (x_dev - mean_dev) @ components_dev.T
+    s = jnp.std(y0, axis=0)
+    y_dev = y0 / s
+    m = jnp.mean(x_dev, axis=0)
+    kp = _knot_stage_impl(y_dev.T, w, bins, eb, edge_points)
+    icap = jnp.concatenate(
+        [components_dev.astype(jnp.float32),
+         mean_dev.astype(jnp.float32)[None],
+         s.astype(jnp.float32)[None],
+         m.astype(jnp.float32)[None]], axis=0)
+    flat = jnp.concatenate([icap.reshape(-1),
+                            kp.astype(jnp.float32).reshape(-1)])
+    return y_dev, flat
 
 
 class _NonFiniteLayer(Exception):
@@ -255,6 +285,23 @@ class SIT:
 
     # ------------- fitting -------------
 
+    def _drain_icap(self):
+        """Fetch the deferred fused ICA+knot pack (ONE host transfer);
+        stores ``(A, B, m)`` in ``_fetched_icap`` and returns the knot
+        pack (or None if no fused program is pending)."""
+        pending = getattr(self, '_pending_icap', None)
+        if pending is None:
+            return None
+        flat, D, edge_points = pending
+        self._pending_icap = None
+        buf = np.asarray(flat, np.float64)
+        icap = buf[:(D + 3) * D].reshape(D + 3, D)
+        kp = buf[(D + 3) * D:].reshape(D, -1)
+        components, s, m = icap[:D], icap[D + 1], icap[D + 2]
+        A = components / s[:, None]
+        self._fetched_icap = (A, np.linalg.inv(A), m)
+        return kp
+
     def _gaussianize_1d(self, x):
         """KDE-cdf -> ndtri -> monotone spline for one dimension
         (``sit.py:223-227``)."""
@@ -281,8 +328,10 @@ class SIT:
         bins = int(co.get('bins', 100))
         eb = min(int(co.get('edge_bins', 1)), bins // 4)
         edge_points = int(co.get('edge_points', 10))
-        pack = np.asarray(_knot_stage_device(
-            data_dev, w_dev, bins, eb, edge_points), np.float64)
+        pack = self._drain_icap()   # fused per-layer fetch (fit loop)
+        if pack is None:
+            pack = np.asarray(_knot_stage_device(
+                data_dev, w_dev, bins, eb, edge_points), np.float64)
         n_q = pack.shape[1] - 2 * edge_points - 2
         n_fin = int(pack[0, -1])
         if n_fin < data_dev.shape[1]:
@@ -329,6 +378,12 @@ class SIT:
         n_rows = (y_dev.shape[0] if y_dev is not None
                   else np.asarray(y).shape[0])
         device_fit = kde_on_device() and n_rows * self.dim >= 100_000
+        if y is None and not device_fit:
+            # _ica kept the data device-only, but the batch is too small
+            # for the device fit: materialize the host mirror (and drain
+            # the fused ICA fetch so fit() still gets A/B/m)
+            self._drain_icap()
+            y = np.asarray(y_dev, np.float64)
         if device_fit:
             splines = self._fit_splines_device(y, y_dev)
         else:
@@ -371,6 +426,7 @@ class SIT:
         link of remote-TPU setups is slow enough that shipping the data
         matrix per layer dominated the fit. Returns ``(y, y_dev, A, B, m)``
         with ``y_dev`` None on the host path."""
+        self._pending_icap = None    # drop any stale fused-fetch handle
         key = self._next_key()
         if x_dev is None and kde_on_device():
             x_dev = jnp.asarray(np.asarray(x), self.flow_dtype)
@@ -387,23 +443,19 @@ class SIT:
             x_fit, key, max_iter=self.ica_options.get('max_iter', 100),
             tol=self.ica_options.get('tol', 1e-4))
         if x_dev is not None:
-            D = x_dev.shape[1]
-            y0 = (x_dev - mean_dev) @ components_dev.T
-            s_dev = jnp.std(y0, axis=0)
-            y_dev = y0 / s_dev
-            m_dev = jnp.mean(x_dev, axis=0)
-            # ONE packed fetch for all per-layer host bookkeeping
-            # (components, rotation mean, scale, data mean) — separate
-            # small fetches each pay the full tunnel latency (~0.6 s)
-            dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-            pack = np.asarray(jnp.concatenate(
-                [components_dev.astype(dt),
-                 mean_dev.astype(dt)[None],
-                 s_dev.astype(dt)[None],
-                 m_dev.astype(dt)[None]], axis=0), np.float64)
-            components, mean = pack[:D], pack[D]
-            s, m = pack[D + 1], pack[D + 2]
-            y = None
+            # fused post-ICA + stage-A knot program: ONE deferred fetch
+            # (drained by ``_drain_icap``) instead of separate per-layer
+            # ICA-pack and knot-pack fetches (~1 s tunnel latency each)
+            co = dict(self.cubic_options)
+            bins = int(co.get('bins', 100))
+            eb = min(int(co.get('edge_bins', 1)), bins // 4)
+            edge_points = int(co.get('edge_points', 10))
+            w_dev = jnp.asarray(self._weights, jnp.float32)
+            y_dev, flat = _ica_knot_fused(
+                x_dev.astype(self.flow_dtype), components_dev, mean_dev,
+                w_dev, bins, eb, edge_points)
+            self._pending_icap = (flat, x_dev.shape[1], edge_points)
+            return None, y_dev, None, None, None
         else:
             x = np.asarray(x)
             components = np.asarray(components_dev, np.float64)
@@ -491,6 +543,10 @@ class SIT:
                 data_dev = None
                 y, y_dev, A, B, m = self._ica(self._data, data_dev)
                 data_new, data_dev = self._gaussianize_nd(y, y_dev)
+            if A is None:
+                # device path defers the ICA bookkeeping into the fused
+                # per-layer fetch; collect it now
+                A, B, m = self._fetched_icap
             if data_new is not None:      # host path keeps a live mirror
                 self._data = data_new
                 finite_index = np.isfinite(self._data).all(axis=1)
