@@ -364,6 +364,25 @@ def _deriv_local(c, t):
     return (3.0 * c[..., 0] * t + 2.0 * c[..., 1]) * t + c[..., 2]
 
 
+def _gather_coeffs(c, j):
+    """Per-column coefficient gather: ``c[j]`` materializes an (n, 4)
+    intermediate whose minor dim pads 4 -> 128 lanes on TPU — a 32x
+    memory blowup that OOMed the chip at evidence-fill scale (measured:
+    an 18.9 GB allocation for a 590 MB logical gather). Four (n,)
+    gathers keep the lane-minor layout dense."""
+    return tuple(c[:, k][j] for k in range(4))
+
+
+def _eval_cols(cols, t):
+    a, b, cc, d = cols
+    return ((a * t + b) * t + cc) * t + d
+
+
+def _deriv_cols(cols, t):
+    a, b, cc, _ = cols
+    return (3.0 * a * t + 2.0 * b) * t + cc
+
+
 @jax.jit
 def _set_evaluate(xs, cs, m, xp):
     """xs: (D, M) padded knots; cs: (D, M+1, 4); m: (D,); xp: (D, n)."""
@@ -373,8 +392,7 @@ def _set_evaluate(xs, cs, m, xp):
         j_in = jnp.clip(j, 1, m_d)
         dx_in = pts - x_knots[j_in - 1]
         dx_lo = pts - x_knots[0]
-        cj = c[j]
-        inner = _eval_local(cj, dx_in)
+        inner = _eval_cols(_gather_coeffs(c, j), dx_in)
         lo = c[0, 2] * dx_lo + c[0, 3]
         hi = c[m_d, 2] * (pts - x_knots[m_d - 1]) + c[m_d, 3]
         out = jnp.where(j == 0, lo, jnp.where(j == m_d, hi, inner))
@@ -389,8 +407,7 @@ def _set_derivative(xs, cs, m, xp):
         j = jnp.minimum(j, m_d)
         j_in = jnp.clip(j, 1, m_d)
         dx_in = pts - x_knots[j_in - 1]
-        cj = c[j]
-        inner = _deriv_local(cj, dx_in)
+        inner = _deriv_cols(_gather_coeffs(c, j), dx_in)
         out = jnp.where(j == 0, c[0, 2], jnp.where(j == m_d, c[m_d, 2],
                                                    inner))
         return out
@@ -421,7 +438,7 @@ def _set_solve(xs, ys, cs, m, yp):
         x1 = x_knots[jnp.minimum(j_in, m_d - 1)]
         y0 = y_knots[j_in - 1]
         y1 = y_knots[jnp.minimum(j_in, m_d - 1)]
-        cj = c[j]
+        cj = _gather_coeffs(c, j)
 
         b0 = x1 - x0
         slope = jnp.where(jnp.abs(y1 - y0) > 0, (y1 - y0), 1.0)
@@ -429,8 +446,8 @@ def _set_solve(xs, ys, cs, m, yp):
 
         def body(_, st):
             a, b, t = st
-            f = _eval_local(cj, t) - pts
-            df = _deriv_local(cj, t)
+            f = _eval_cols(cj, t) - pts
+            df = _deriv_cols(cj, t)
             a = jnp.where(f > 0, a, t)
             b = jnp.where(f > 0, t, b)
             t_n = t - f / jnp.where(df > 0, df, 1.0)

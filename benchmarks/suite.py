@@ -144,33 +144,30 @@ def run_gbs_config(name, n_chain, n_iter, n_warmup, dtype='float64',
                          n_update=100)
         dt_warm = time.time() - t0
         tt32 = bf.sample(den32, tt32, n_run=2, verbose=False)
-        carry32 = tt32.trace._carry
-        # adaptation is ENTIRELY float32: the f64 phase runs the frozen
-        # tuned configuration (mean adapted step size, adapted metric,
-        # equilibrated positions) — same freeze the reference applies
-        # after its own warmup (step_size.py:31-45)
-        step = float(np.mean(np.exp(np.asarray(carry32.step.log_bar))))
+        step = _get_step_size(tt32)
         metric = _get_metric(tt32, 'diag', from_samples=False)
         x_last = tt32.get(original_space=True, flatten=False)[:, -1, :]
         n_call32 = int(tt32.n_call)
         bf.config.set_dtype(None)
-        # ---- float64 posterior phase, frozen warm-started config ----
-        # untimed frozen-config f64 warmup tail: absorbs the len-2 and
-        # len-100 scan compiles, exactly as every row's untimed warm pass
-        # does, so the timed post window is compile-free like the
-        # pure-f64 rows (whose post reuses the warmup-phase compile)
-        n_tail = 102
+        # ---- float64 posterior phase, warm-started with a SHORT f64
+        # re-adapt window (per-chain step sizes re-settle from the
+        # f32-adapted scalar start — freezing to the mean step collapses
+        # heterogeneous-step targets like the funnel). The re-adapt runs
+        # in length-2 scan chunks, reusing the untimed warm pass's
+        # compiled program, so the timed window holds no XLA compile —
+        # the same compile-exclusion protocol as every other row.
+        n_readapt = 100
         trace = bf.NTrace(n_chain=n_chain,
-                          n_iter=(n_iter - n_warmup) + n_tail,
-                          n_warmup=n_tail,
+                          n_iter=(n_iter - n_warmup) + n_readapt,
+                          n_warmup=n_readapt,
                           x_0=np.asarray(x_last, np.float64),
-                          step_size=step, metric=metric,
-                          adapt_step_size=False, adapt_metric=False,
-                          **extra)
+                          step_size=step, metric=metric, **extra)
         tt = bf.sample(den, trace, n_run=2, verbose=False, n_update=2)
-        tt = bf.sample(den, tt, n_run=n_tail - 2, verbose=False,
-                       n_update=100)
-        n_warmup_eff = n_warmup - 2   # adaptation is float32-only
+        t0 = time.time()
+        tt = bf.sample(den, tt, n_run=n_readapt - 2, verbose=False,
+                       n_update=2)
+        dt_warm += time.time() - t0
+        n_warmup_eff = (n_warmup - 2) + (n_readapt - 2)
         t0 = time.time()
         tt = bf.sample(den, tt, n_run=n_iter - n_warmup, verbose=False,
                        n_update=100)
